@@ -1,0 +1,160 @@
+"""Configuration for the disconet_tpu framework.
+
+Single source of truth mirroring the reference's ``coperception/configs/Config.py``
+and ``ConfigGlobal.py`` (SURVEY.md C1, tier-[B]): voxel size 0.25x0.25x0.4 m, area
+extents x,y in [-32, 32] m and z in [-3, 2] m -> a 256x256x13 binary BEV occupancy
+grid, binary (background/vehicle) classification, 6 rotated anchors per cell with a
+(x, y, w, h, sin, cos) box code.
+
+Unlike the reference (two near-duplicate classes, one for the student and one for
+the "global"/teacher holistic view), the rebuild uses one frozen dataclass that is
+fully parametric in the grid geometry so that tiny configs (for CPU-mesh sharding
+tests and the multi-chip dry-run) are first-class rather than hacks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Detection/segmentation configuration.
+
+    Numeric defaults follow the reference Config (SURVEY.md C1):
+    ``voxel_size`` 0.25x0.25x0.4 m, ``area_extents`` x,y in [-32,32] z in [-3,2],
+    binary vehicle class, 6 anchors/cell, box code (x,y,w,h,sin,cos).
+    """
+
+    split: str = "train"
+    binary: bool = True
+    only_det: bool = True
+
+    # Geometry — reference Config voxel/extent constants.
+    voxel_size: Tuple[float, float, float] = (0.25, 0.25, 0.4)
+    area_extents: Tuple[Tuple[float, float], ...] = ((-32.0, 32.0), (-32.0, 32.0), (-3.0, 2.0))
+
+    # Agents: 5 vehicles + optionally 1 RSU (agent 0).  README.md:63,75,96.
+    max_agents: int = 6
+
+    # Anchors: 6 rotated anchors per BEV cell, (w, l, theta).  Tier-[B]
+    # reconstruction of obj_util.init_anchors_no_check defaults; isolated here as
+    # data so a later parity fix is a constant change, not a code change.
+    anchor_sizes: Tuple[Tuple[float, float, float], ...] = (
+        (2.0, 4.0, 0.0),
+        (2.0, 4.0, math.pi / 2.0),
+        (1.0, 1.0, 0.0),
+        (1.0, 2.0, 0.0),
+        (1.0, 2.0, math.pi / 2.0),
+        (0.8, 0.8, 0.0),
+    )
+
+    # Box code length: (dx, dy, dw, dh, sin, cos).
+    box_code_size: int = 6
+    # Classes: binary => {background, vehicle}.
+    num_classes: int = 2
+
+    # Training targets / thresholds (FaF/MotionNet lineage, tier-[B]).
+    pos_iou_threshold: float = 0.4
+    neg_iou_threshold: float = 0.2
+
+    # Eval / NMS.
+    score_threshold: float = 0.3
+    nms_iou_threshold: float = 0.01
+    nms_top_k: int = 256
+    map_iou_thresholds: Tuple[float, ...] = (0.5, 0.7)
+
+    # Backbone widths (SURVEY.md C11: 32->64->128->256->512, decode back to 128-ch
+    # stride-1 features feeding the heads).
+    backbone_channels: Tuple[int, ...] = (32, 64, 128, 256, 512)
+    head_channels: int = 128
+
+    # Fusion layer index (``--layer``, default 3 -> 32x32x256 for the 256^2 grid).
+    fusion_layer: int = 3
+
+    # Loss weights.
+    cls_weight: float = 1.0
+    reg_weight: float = 2.0
+    kd_weight: float = 100000.0
+    focal_gamma: float = 2.0
+    smooth_l1_sigma: float = 3.0
+
+    # Compute dtype for the conv stack (bf16 matmuls, fp32 accum/params).
+    compute_dtype: str = "bfloat16"
+
+    # Segmentation (SURVEY.md C3): ~8 BEV semantic classes.
+    num_seg_classes: int = 8
+
+    # ---- derived geometry ----
+    @property
+    def grid_size(self) -> Tuple[int, int, int]:
+        """BEV grid cells per axis: ceil(extent / voxel)."""
+        dims = []
+        for (lo, hi), v in zip(self.area_extents, self.voxel_size):
+            dims.append(int(math.ceil((hi - lo) / v - 1e-9)))
+        return tuple(dims)  # (256, 256, 13) at defaults
+
+    @property
+    def bev_shape(self) -> Tuple[int, int, int]:
+        """(H, W, Z) occupancy input shape, NHWC-style with Z as channels."""
+        gx, gy, gz = self.grid_size
+        return (gx, gy, gz)
+
+    @property
+    def num_anchors(self) -> int:
+        return len(self.anchor_sizes)
+
+    @property
+    def map_dims(self) -> Tuple[int, int]:
+        gx, gy, _ = self.grid_size
+        return (gx, gy)
+
+    @property
+    def fusion_stride(self) -> int:
+        """Spatial stride at the fusion layer (layer k fuses at stride 2^k)."""
+        return 2 ** self.fusion_layer
+
+    @property
+    def fusion_channels(self) -> int:
+        return self.backbone_channels[min(self.fusion_layer, len(self.backbone_channels) - 1)]
+
+    def anchor_centers(self) -> np.ndarray:
+        """(H, W, 2) metric xy centers of each BEV cell."""
+        (x_lo, _), (y_lo, _), _ = self.area_extents
+        vx, vy, _ = self.voxel_size
+        gx, gy, _ = self.grid_size
+        xs = x_lo + (np.arange(gx, dtype=np.float32) + 0.5) * vx
+        ys = y_lo + (np.arange(gy, dtype=np.float32) + 0.5) * vy
+        cx, cy = np.meshgrid(xs, ys, indexing="ij")
+        return np.stack([cx, cy], axis=-1)
+
+
+@dataclasses.dataclass(frozen=True)
+class ConfigGlobal(Config):
+    """Teacher / holistic-view variant (reference ConfigGlobal, SURVEY.md C1).
+
+    In the reference the teacher consumes the merged ("holistic") point cloud of
+    all agents voxelized into the same grid; geometry is identical, so this exists
+    mainly to mirror the reference API surface.
+    """
+
+    split: str = "train"
+
+
+def tiny_config(grid: int = 64, **overrides) -> Config:
+    """A small config for tests and the multi-chip CPU dry-run.
+
+    Keeps the full architecture (all 5 backbone stages, fusion at ``--layer 3``)
+    but shrinks the grid so compile times stay in milliseconds.
+    """
+    half = grid * 0.25 / 2.0
+    defaults = dict(
+        area_extents=((-half, half), (-half, half), (-3.0, 2.0)),
+        nms_top_k=64,
+    )
+    defaults.update(overrides)
+    return Config(**defaults)

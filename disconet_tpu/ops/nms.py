@@ -1,0 +1,67 @@
+"""On-device rotated NMS (SURVEY.md C8 rebuild note).
+
+The reference runs per-class rotated NMS on the host with shapely polygon IoU
+inside python loops (coperception/utils/detection_util.py ``non_max_suppression``)
+— the eval hot spot (SURVEY.md §4.2). Here NMS stays on device and jittable:
+
+1. top-K boxes by score (static K),
+2. one (K, K) rotated-IoU matrix (vectorized, see rotated_iou.py),
+3. greedy suppression as a sequential scan over K rows with a keep mask
+   (lax.fori_loop — K is static, the loop body is pure VPU masking).
+
+Returns fixed-size outputs (boxes, scores, keep-mask); downstream host code
+filters by the mask. This keeps everything static-shape under jit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from disconet_tpu.ops.rotated_iou import rotated_iou_matrix
+
+
+@functools.partial(jax.jit, static_argnames=("top_k",))
+def rotated_nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_threshold: float,
+    score_threshold: float = 0.0,
+    top_k: int = 256,
+):
+    """Greedy rotated NMS with static shapes.
+
+    Args:
+        boxes: (N, 5) rotated boxes (cx, cy, w, l, theta).
+        scores: (N,) confidence scores.
+        iou_threshold: suppress boxes with IoU > threshold against a kept box.
+        score_threshold: boxes below this are dropped up front.
+        top_k: static number of candidates considered (and size of the output).
+
+    Returns:
+        (boxes_k, scores_k, keep): (top_k, 5), (top_k,), (top_k,) bool. Slots that
+        were suppressed / below threshold / padding have keep=False and score=-1.
+    """
+    n = boxes.shape[0]
+    k = min(top_k, n)
+    scores = jnp.where(scores >= score_threshold, scores, -1.0)
+    top_scores, idx = jax.lax.top_k(scores, k)
+    top_boxes = boxes[idx]
+    if k < top_k:  # pad to static top_k
+        pad = top_k - k
+        top_boxes = jnp.concatenate([top_boxes, jnp.zeros((pad, 5), boxes.dtype)], axis=0)
+        top_scores = jnp.concatenate([top_scores, jnp.full((pad,), -1.0, scores.dtype)], axis=0)
+
+    iou = rotated_iou_matrix(top_boxes, top_boxes)  # (K, K)
+    valid = top_scores > -1.0
+
+    def body(i, keep):
+        # row i is kept iff still alive; if kept, suppress later overlapping rows
+        row_kept = keep[i] & valid[i]
+        suppress = (iou[i] > iou_threshold) & (jnp.arange(top_k) > i) & row_kept
+        return keep & ~suppress
+
+    keep = jax.lax.fori_loop(0, top_k, body, valid)
+    return top_boxes, top_scores, keep & valid

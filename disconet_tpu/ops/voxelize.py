@@ -1,0 +1,112 @@
+"""Point-cloud -> binary BEV occupancy voxelization (SURVEY.md C6).
+
+Reference: ``coperception/utils/data_util.voxelize_occupy`` (MotionNet-derived,
+/root/reference/README.md:104) — a numpy scatter run inside CPU dataloader
+workers. The TPU rebuild moves voxelization on device so the whole
+voxelize->encode->fuse->detect path is one XLA graph (BASELINE.json north star):
+
+* :func:`voxelize_occupy_np`   — numpy oracle (bit-for-bit contract).
+* :func:`voxelize_occupy_jax`  — XLA scatter (`.at[].max` with drop-mode OOB).
+* :func:`voxelize_occupy`      — dispatcher; `impl='pallas'` uses the Pallas
+  scatter kernel in ops/pallas/voxelize_pallas.py.
+
+Points are padded to a static N with a validity mask (or NaN padding); out-of-
+extent and invalid points are dropped, matching the oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def voxelize_occupy_np(
+    points: np.ndarray,
+    voxel_size: Sequence[float],
+    extents: Sequence[Tuple[float, float]],
+) -> np.ndarray:
+    """Numpy oracle: (N, 3) points -> (H, W, Z) uint8/float32 binary occupancy."""
+    points = np.asarray(points, dtype=np.float64)
+    lo = np.array([e[0] for e in extents])
+    hi = np.array([e[1] for e in extents])
+    vs = np.asarray(voxel_size, dtype=np.float64)
+    dims = np.ceil((hi - lo) / vs - 1e-9).astype(np.int64)
+    grid = np.zeros(tuple(dims), dtype=np.float32)
+    if points.size == 0:
+        return grid
+    finite = np.all(np.isfinite(points), axis=-1)
+    idx = np.floor((points - lo) / vs).astype(np.int64)
+    ok = finite & np.all((points >= lo) & (points < hi), axis=-1)
+    ok &= np.all((idx >= 0) & (idx < dims), axis=-1)
+    idx = idx[ok]
+    grid[idx[:, 0], idx[:, 1], idx[:, 2]] = 1.0
+    return grid
+
+
+def _geometry(voxel_size, extents):
+    lo = np.array([e[0] for e in extents], dtype=np.float32)
+    hi = np.array([e[1] for e in extents], dtype=np.float32)
+    vs = np.asarray(voxel_size, dtype=np.float32)
+    dims = tuple(int(d) for d in np.ceil((hi - lo) / vs - 1e-9).astype(np.int64))
+    return lo, hi, vs, dims
+
+
+@functools.partial(jax.jit, static_argnames=("voxel_size", "extents"))
+def voxelize_occupy_jax(
+    points: jnp.ndarray,
+    voxel_size: Tuple[float, float, float],
+    extents: Tuple[Tuple[float, float], ...],
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """XLA scatter voxelizer. points (..., N, 3) -> (..., H, W, Z) float32.
+
+    Leading batch dims are vmapped. Invalid rows (mask==False, non-finite, or
+    out-of-extent) scatter to a clamped index guarded by `mode='drop'` via an
+    out-of-range sentinel.
+    """
+    lo, hi, vs, dims = _geometry(voxel_size, extents)
+    lo_j, hi_j, vs_j = jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(vs)
+    dims_j = jnp.asarray(dims, dtype=jnp.int32)
+
+    def _single(pts, m):
+        finite = jnp.all(jnp.isfinite(pts), axis=-1)
+        pts_safe = jnp.where(finite[..., None], pts, lo_j - 1.0)
+        idx = jnp.floor((pts_safe - lo_j) / vs_j).astype(jnp.int32)
+        ok = finite & jnp.all((pts_safe >= lo_j) & (pts_safe < hi_j), axis=-1)
+        ok &= jnp.all((idx >= 0) & (idx < dims_j), axis=-1)
+        if m is not None:
+            ok &= m.astype(bool)
+        # OOB sentinel -> dropped by scatter mode='drop'
+        idx = jnp.where(ok[..., None], idx, dims_j)
+        grid = jnp.zeros(dims, dtype=jnp.float32)
+        return grid.at[idx[:, 0], idx[:, 1], idx[:, 2]].max(
+            jnp.ones(idx.shape[0], jnp.float32), mode="drop"
+        )
+
+    batch_shape = points.shape[:-2]
+    if batch_shape:
+        flat_pts = points.reshape((-1,) + points.shape[-2:])
+        flat_mask = None if mask is None else mask.reshape((-1,) + mask.shape[-1:])
+        if flat_mask is None:
+            out = jax.vmap(lambda p: _single(p, None))(flat_pts)
+        else:
+            out = jax.vmap(_single)(flat_pts, flat_mask)
+        return out.reshape(batch_shape + dims)
+    return _single(points, mask)
+
+
+def voxelize_occupy(points, voxel_size, extents, mask=None, impl: str = "jax"):
+    """Dispatcher over voxelizer implementations ('np' | 'jax' | 'pallas')."""
+    if impl == "np":
+        return voxelize_occupy_np(np.asarray(points), voxel_size, extents)
+    if impl == "pallas":
+        from disconet_tpu.ops.pallas.voxelize_pallas import voxelize_occupy_pallas
+
+        return voxelize_occupy_pallas(points, voxel_size, extents, mask=mask)
+    return voxelize_occupy_jax(
+        jnp.asarray(points), tuple(voxel_size), tuple(map(tuple, extents)), mask=mask
+    )

@@ -1,0 +1,213 @@
+"""Unit tests for geometry ops against oracles (SURVEY.md §5.1 rebuild strategy)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from disconet_tpu.config import Config, tiny_config
+from disconet_tpu.ops.boxes import (
+    box_corners,
+    box_corners_np,
+    decode_boxes,
+    encode_boxes,
+    make_anchors,
+)
+from disconet_tpu.ops.losses import kd_feature_loss, softmax_focal_loss, weighted_smooth_l1
+from disconet_tpu.ops.nms import rotated_nms
+from disconet_tpu.ops.rotated_iou import rotated_iou_matrix, rotated_iou_np
+from disconet_tpu.ops.voxelize import voxelize_occupy_jax, voxelize_occupy_np
+
+
+def _random_boxes(n, rng, spread=20.0):
+    boxes = np.zeros((n, 5), dtype=np.float32)
+    boxes[:, 0:2] = rng.uniform(-spread, spread, size=(n, 2))
+    boxes[:, 2:4] = rng.uniform(0.5, 5.0, size=(n, 2))
+    boxes[:, 4] = rng.uniform(-np.pi, np.pi, size=n)
+    return boxes
+
+
+class TestConfig:
+    def test_grid_size_defaults(self):
+        cfg = Config()
+        assert cfg.grid_size == (256, 256, 13)
+        assert cfg.num_anchors == 6
+        assert cfg.fusion_stride == 8
+
+    def test_tiny_config(self):
+        cfg = tiny_config(64)
+        assert cfg.grid_size == (64, 64, 13)
+
+
+class TestBoxes:
+    def test_codec_roundtrip(self):
+        rng = np.random.default_rng(0)
+        cfg = tiny_config(64)
+        anchors = make_anchors(cfg).reshape(-1, 5)
+        idx = rng.integers(0, len(anchors), size=128)
+        a = anchors[idx]
+        gt = a.copy()
+        gt[:, 0:2] += rng.uniform(-1, 1, size=(128, 2))
+        gt[:, 2:4] *= rng.uniform(0.8, 1.25, size=(128, 2))
+        gt[:, 4] = rng.uniform(-np.pi, np.pi, size=128)
+        deltas = encode_boxes(gt, a)
+        back = np.asarray(decode_boxes(deltas, a))
+        np.testing.assert_allclose(back[:, :4], gt[:, :4], atol=1e-3)
+        # angle wraps: compare sin/cos
+        np.testing.assert_allclose(np.sin(back[:, 4]), np.sin(gt[:, 4]), atol=1e-3)
+        np.testing.assert_allclose(np.cos(back[:, 4]), np.cos(gt[:, 4]), atol=1e-3)
+
+    def test_corners_match_oracle(self):
+        rng = np.random.default_rng(1)
+        boxes = _random_boxes(32, rng)
+        np.testing.assert_allclose(
+            np.asarray(box_corners(boxes)), box_corners_np(boxes), atol=1e-4
+        )
+
+    def test_anchor_grid_shape(self):
+        cfg = tiny_config(32)
+        anchors = make_anchors(cfg)
+        assert anchors.shape == (32, 32, 6, 5)
+        # center of cell (0, 0) is lo + half voxel
+        np.testing.assert_allclose(anchors[0, 0, 0, :2], [-4.0 + 0.125, -4.0 + 0.125])
+
+
+class TestRotatedIoU:
+    def test_axis_aligned_known(self):
+        a = np.array([[0.0, 0.0, 2.0, 2.0, 0.0]])
+        b = np.array([[1.0, 0.0, 2.0, 2.0, 0.0]])
+        # overlap 1x2=2, union 4+4-2=6
+        np.testing.assert_allclose(rotated_iou_np(a, b)[0, 0], 2.0 / 6.0, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(rotated_iou_matrix(jnp.asarray(a), jnp.asarray(b)))[0, 0],
+            2.0 / 6.0,
+            atol=1e-4,
+        )
+
+    def test_rotated_45_known(self):
+        # unit square vs itself rotated 45deg: intersection is regular octagon
+        a = np.array([[0.0, 0.0, 1.0, 1.0, 0.0]])
+        b = np.array([[0.0, 0.0, 1.0, 1.0, np.pi / 4]])
+        inter = 2 * (np.sqrt(2) - 1)  # octagon area for unit square pair
+        expect = inter / (2 - inter)
+        np.testing.assert_allclose(rotated_iou_np(a, b)[0, 0], expect, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(rotated_iou_matrix(jnp.asarray(a), jnp.asarray(b)))[0, 0],
+            expect,
+            atol=1e-4,
+        )
+
+    def test_matrix_matches_oracle_random(self):
+        rng = np.random.default_rng(2)
+        a = _random_boxes(24, rng, spread=6.0)
+        b = _random_boxes(24, rng, spread=6.0)
+        got = np.asarray(rotated_iou_matrix(jnp.asarray(a), jnp.asarray(b)))
+        want = rotated_iou_np(a, b)
+        np.testing.assert_allclose(got, want, atol=2e-3)
+
+    def test_self_iou_is_one(self):
+        rng = np.random.default_rng(3)
+        a = _random_boxes(16, rng)
+        got = np.asarray(rotated_iou_matrix(jnp.asarray(a), jnp.asarray(a)))
+        np.testing.assert_allclose(np.diag(got), 1.0, atol=2e-3)
+
+
+class TestNMS:
+    def test_suppresses_duplicates(self):
+        boxes = np.array(
+            [
+                [0.0, 0.0, 2.0, 4.0, 0.1],
+                [0.05, 0.0, 2.0, 4.0, 0.1],   # near-dup of 0
+                [10.0, 10.0, 2.0, 4.0, 1.2],  # far away
+            ],
+            dtype=np.float32,
+        )
+        scores = np.array([0.9, 0.8, 0.7], dtype=np.float32)
+        out_boxes, out_scores, keep = rotated_nms(
+            jnp.asarray(boxes), jnp.asarray(scores), iou_threshold=0.3, top_k=8
+        )
+        keep = np.asarray(keep)
+        assert keep.sum() == 2
+        kept_scores = np.asarray(out_scores)[keep]
+        np.testing.assert_allclose(sorted(kept_scores, reverse=True), [0.9, 0.7])
+
+    def test_score_threshold(self):
+        boxes = np.array([[0, 0, 2, 4, 0.0], [10, 10, 2, 4, 0.0]], dtype=np.float32)
+        scores = np.array([0.9, 0.1], dtype=np.float32)
+        _, _, keep = rotated_nms(
+            jnp.asarray(boxes), jnp.asarray(scores),
+            iou_threshold=0.3, score_threshold=0.5, top_k=4,
+        )
+        assert np.asarray(keep).sum() == 1
+
+
+class TestVoxelize:
+    def test_matches_oracle_random(self):
+        rng = np.random.default_rng(4)
+        cfg = tiny_config(32)
+        pts = rng.uniform(-5, 5, size=(512, 3)).astype(np.float32)
+        pts[:, 2] = rng.uniform(-4, 3, size=512)
+        want = voxelize_occupy_np(pts, cfg.voxel_size, cfg.area_extents)
+        got = np.asarray(
+            voxelize_occupy_jax(jnp.asarray(pts), cfg.voxel_size, cfg.area_extents)
+        )
+        np.testing.assert_array_equal(got, want)
+
+    def test_mask_and_nan_padding(self):
+        cfg = tiny_config(32)
+        pts = np.full((16, 3), np.nan, dtype=np.float32)
+        pts[0] = [0.0, 0.0, 0.0]
+        mask = np.zeros(16, dtype=bool)
+        mask[0] = True
+        got = np.asarray(
+            voxelize_occupy_jax(
+                jnp.asarray(pts), cfg.voxel_size, cfg.area_extents, mask=jnp.asarray(mask)
+            )
+        )
+        assert got.sum() == 1
+
+    def test_batched(self):
+        rng = np.random.default_rng(5)
+        cfg = tiny_config(16)
+        pts = rng.uniform(-2, 2, size=(3, 4, 64, 3)).astype(np.float32)
+        out = voxelize_occupy_jax(jnp.asarray(pts), cfg.voxel_size, cfg.area_extents)
+        assert out.shape == (3, 4) + cfg.grid_size
+
+
+class TestLosses:
+    def test_focal_reduces_to_ce_at_gamma0(self):
+        rng = np.random.default_rng(6)
+        logits = rng.normal(size=(32, 2)).astype(np.float32)
+        labels = rng.integers(0, 2, size=32)
+        one_hot = np.eye(2, dtype=np.float32)[labels]
+        got = float(softmax_focal_loss(jnp.asarray(logits), jnp.asarray(one_hot), gamma=0.0))
+        # manual CE
+        ex = np.exp(logits - logits.max(-1, keepdims=True))
+        p = ex / ex.sum(-1, keepdims=True)
+        want = -np.mean(np.log(p[np.arange(32), labels]))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_focal_downweights_easy(self):
+        easy = jnp.asarray([[5.0, -5.0]])
+        hard = jnp.asarray([[0.1, -0.1]])
+        tgt = jnp.asarray([[1.0, 0.0]])
+        l_easy = float(softmax_focal_loss(easy, tgt, gamma=2.0))
+        l_hard = float(softmax_focal_loss(hard, tgt, gamma=2.0))
+        assert l_easy < l_hard
+
+    def test_smooth_l1_masked(self):
+        pred = jnp.asarray([[1.0, 0.0], [100.0, 100.0]])
+        tgt = jnp.zeros((2, 2))
+        mask = jnp.asarray([[1.0, 1.0], [0.0, 0.0]])
+        sigma = 3.0
+        got = float(weighted_smooth_l1(pred, tgt, mask, sigma=sigma))
+        # |d|=1 -> 1 - 0.5/9 ; |d|=0 -> 0; mean over 2 valid
+        want = (1.0 - 0.5 / 9.0) / 2.0
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_kd_masked(self):
+        s = jnp.ones((2, 4, 4, 8))
+        t = jnp.zeros((2, 4, 4, 8))
+        mask = jnp.asarray([1.0, 0.0])
+        got = float(kd_feature_loss(s, t, mask=mask))
+        np.testing.assert_allclose(got, 1.0, rtol=1e-5)

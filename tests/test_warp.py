@@ -1,0 +1,113 @@
+"""Warp parity vs torch CPU (SURVEY.md §7 hard parts: grid_sample conventions)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from disconet_tpu.ops.warp import affine_grid, grid_sample, pose_to_affine, warp_features
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+
+def _rand_theta(rng, n):
+    ang = rng.uniform(-np.pi, np.pi, size=n)
+    theta = np.zeros((n, 2, 3), dtype=np.float32)
+    theta[:, 0, 0] = np.cos(ang)
+    theta[:, 0, 1] = -np.sin(ang)
+    theta[:, 1, 0] = np.sin(ang)
+    theta[:, 1, 1] = np.cos(ang)
+    theta[:, :, 2] = rng.uniform(-0.5, 0.5, size=(n, 2))
+    return theta
+
+
+class TestTorchParity:
+    @pytest.mark.parametrize("align", [False, True])
+    def test_affine_grid(self, align):
+        rng = np.random.default_rng(0)
+        theta = _rand_theta(rng, 3)
+        size = (3, 4, 16, 24)
+        want = F.affine_grid(torch.from_numpy(theta), size, align_corners=align).numpy()
+        got = np.asarray(affine_grid(jnp.asarray(theta), size, align_corners=align))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    @pytest.mark.parametrize("align", [False, True])
+    def test_grid_sample(self, align):
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(2, 3, 20, 28)).astype(np.float32)
+        theta = _rand_theta(rng, 2)
+        grid_t = F.affine_grid(torch.from_numpy(theta), x.shape, align_corners=align)
+        want = F.grid_sample(
+            torch.from_numpy(x), grid_t, mode="bilinear",
+            padding_mode="zeros", align_corners=align,
+        ).numpy()
+        grid_j = affine_grid(jnp.asarray(theta), x.shape, align_corners=align)
+        got = np.asarray(grid_sample(jnp.asarray(x), grid_j, align_corners=align))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_grid_sample_out_of_bounds_zero(self):
+        x = np.ones((1, 1, 8, 8), dtype=np.float32)
+        # pure translation far out of bounds
+        theta = np.array([[[1.0, 0.0, 5.0], [0.0, 1.0, 5.0]]], dtype=np.float32)
+        grid_j = affine_grid(jnp.asarray(theta), x.shape)
+        got = np.asarray(grid_sample(jnp.asarray(x), grid_j))
+        assert got.max() == 0.0
+
+
+class TestWarpFeatures:
+    EXT = ((-8.0, 8.0), (-8.0, 8.0))
+
+    def _identity_pose(self, a):
+        t = np.zeros((a, a, 4, 4), dtype=np.float32)
+        t[..., np.arange(4), np.arange(4)] = 1.0
+        return t
+
+    def test_identity(self):
+        rng = np.random.default_rng(2)
+        feats = rng.normal(size=(3, 32, 32, 4)).astype(np.float32)
+        trans = self._identity_pose(3)
+        out = np.asarray(warp_features(jnp.asarray(feats), jnp.asarray(trans), self.EXT))
+        assert out.shape == (3, 3, 32, 32, 4)
+        for i in range(3):
+            for j in range(3):
+                np.testing.assert_allclose(out[i, j], feats[j], atol=1e-5)
+
+    def test_translation_shifts_cells(self):
+        # sender j is 2 cells (1.0 m at 0.5 m/cell) ahead of receiver i in +x:
+        # p_i = p_j + [1, 0] => sender content appears shifted by +2 cells in x.
+        feats = np.zeros((2, 32, 32, 1), dtype=np.float32)
+        feats[1, 10, 10, 0] = 1.0
+        trans = self._identity_pose(2)
+        trans[0, 1, 0, 3] = 1.0  # sender 1 -> receiver 0: +1 m in x
+        out = np.asarray(warp_features(jnp.asarray(feats), jnp.asarray(trans), self.EXT))
+        np.testing.assert_allclose(out[0, 1, 12, 10, 0], 1.0, atol=1e-5)
+        assert out[0, 1, 10, 10, 0] < 1e-5
+
+    def test_rotation_90(self):
+        # 90 deg rotation about origin: p_i = R p_j with R = [[0,-1],[1,0]].
+        # metric point (x, y) in sender shows up at (-y, x) in receiver.
+        feats = np.zeros((2, 32, 32, 1), dtype=np.float32)
+        # cell (20, 16) center = (x=+2.25, y=+0.25)@0.5m cells, lo=-8: x=-8+20.5*.5
+        feats[1, 20, 16, 0] = 1.0
+        trans = self._identity_pose(2)
+        trans[0, 1, :2, :2] = np.array([[0.0, -1.0], [1.0, 0.0]])
+        out = np.asarray(warp_features(jnp.asarray(feats), jnp.asarray(trans), self.EXT))
+        # sender metric (2.25, 0.25) -> receiver metric (-0.25, 2.25)
+        # receiver cell: x: (-0.25+8)/0.5-0.5 = 15.0, y: (2.25+8)/0.5-0.5 = 20.0
+        np.testing.assert_allclose(out[0, 1, 15, 20, 0], 1.0, atol=1e-4)
+
+    def test_round_trip_inverse(self):
+        rng = np.random.default_rng(3)
+        ang = 0.7
+        T = np.eye(4, dtype=np.float32)
+        T[:2, :2] = [[np.cos(ang), -np.sin(ang)], [np.sin(ang), np.cos(ang)]]
+        T[0, 3], T[1, 3] = 1.5, -0.75
+        aff = np.asarray(pose_to_affine(jnp.asarray(T)))
+        # aff maps receiver->sender; composing with T's own xy block ~ identity
+        R = T[:2, :2]
+        t = T[:2, 3]
+        comp_R = R @ aff[:, :2]
+        comp_t = R @ aff[:, 2] + t
+        np.testing.assert_allclose(comp_R, np.eye(2), atol=1e-5)
+        np.testing.assert_allclose(comp_t, np.zeros(2), atol=1e-5)
