@@ -1,0 +1,223 @@
+"""Dataset loaders (SURVEY.md C2/C3, reference V2XSimDet.py / V2XSimSeg.py).
+
+Differences from the reference, by design:
+  * one __getitem__ returns a whole *scene-frame* (all agents stacked and padded
+    to ``config.max_agents``) instead of per-agent items + a custom collate — on
+    TPU the agent axis is a tensor axis from the start (SURVEY.md L3 rebuild);
+  * absent agents are represented by an explicit boolean ``agent_mask`` rather
+    than zero-padding conventions scattered through model code (SURVEY.md §7
+    "hard parts": padding must not leak into the sender softmax);
+  * the ``rsu`` switch (reference ``--rsu {0,1}``, README.md:63) drops agent 0
+    at index time, exactly like the reference dataset's dataset_roots slicing.
+
+Batches are plain dicts of numpy arrays -> jnp at the jit boundary. A lightweight
+shuffling ``BatchIterator`` with background prefetch replaces torch DataLoader.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from disconet_tpu.config import Config
+from disconet_tpu.data import schema
+
+
+class V2XSimDet:
+    """Detection dataset over the reference npy layout (SURVEY.md C2).
+
+    Args:
+        root: dataset root containing ``agent{i}/`` subdirs (or a list of those
+            subdir paths, mirroring the reference's ``dataset_roots``).
+        config: geometry config (defines padding shapes).
+        rsu: include agent 0 (the road-side unit). ``--rsu 0`` drops it.
+        bound: '' (normal), 'lowerbound' (per-agent, no teacher needed) or
+            'upperbound' (student consumes the holistic teacher BEV) — the
+            reference's ``--bound`` flag (SURVEY.md C15).
+    """
+
+    def __init__(
+        self,
+        root,
+        config: Config,
+        rsu: bool = True,
+        bound: str = "",
+        keep_gt_boxes: bool = True,
+    ):
+        self.config = config
+        self.rsu = rsu
+        self.bound = bound
+        self.keep_gt_boxes = keep_gt_boxes
+        if isinstance(root, (list, tuple)):
+            agent_roots = list(root)
+        else:
+            agent_roots = [f"{root}/agent{i}" for i in range(config.max_agents)]
+        if not rsu:
+            agent_roots = agent_roots[1:]
+        self.agent_roots = agent_roots
+
+        # index: (scene, frame) -> {agent_slot: path}
+        index: Dict[tuple, Dict[int, str]] = {}
+        for slot, ar in enumerate(agent_roots):
+            for scene, frame, path in schema.list_frames(ar):
+                index.setdefault((scene, frame), {})[slot] = path
+        self.keys = sorted(index)
+        self.index = index
+
+    def __len__(self) -> int:
+        return len(self.keys)
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        cfg = self.config
+        MA = cfg.max_agents
+        H, W = cfg.map_dims
+        Z = cfg.grid_size[2]
+        A, C, code = cfg.num_anchors, cfg.num_classes, cfg.box_code_size
+
+        bev = np.zeros((MA, H, W, Z), np.float32)
+        bev_teacher = np.zeros((MA, H, W, Z), np.float32)
+        label = np.zeros((MA, H, W, A, C), np.float32)
+        label[..., 0] = 1.0
+        reg_target = np.zeros((MA, H, W, A, code), np.float32)
+        reg_mask = np.zeros((MA, H, W, A), np.float32)
+        trans = np.tile(np.eye(4, dtype=np.float32), (MA, MA, 1, 1))
+        agent_mask = np.zeros((MA,), bool)
+        gt_boxes: List[np.ndarray] = [np.zeros((0, 5), np.float32)] * MA
+
+        frames = self.index[self.keys[i]]
+        for slot, path in frames.items():
+            fr = schema.load_frame(path)
+            student = np.asarray(fr["padded_voxel_points"], np.float32)
+            teacher = np.asarray(
+                fr.get("padded_voxel_points_teacher", fr["padded_voxel_points"]), np.float32
+            )
+            if student.ndim == 4:  # squeeze the temporal dim (schema.py)
+                student, teacher = student[0], teacher[0]
+            if self.bound == "upperbound":
+                student = teacher  # early fusion: holistic input (SURVEY.md C15)
+            bev[slot] = student
+            bev_teacher[slot] = teacher
+            label[slot] = fr["label_one_hot"]
+            reg_target[slot] = fr["reg_target"]
+            reg_mask[slot] = np.asarray(fr["reg_loss_mask"], np.float32)
+            agent_mask[slot] = True
+            if self.keep_gt_boxes and "gt_boxes" in fr:
+                gt_boxes[slot] = np.asarray(fr["gt_boxes"], np.float32).reshape(-1, 5)
+            # stored trans row j maps agent j -> THIS agent; drop the rsu column
+            # offset when agent 0 was excluded so slots align.
+            tm = np.asarray(fr["trans_matrices"], np.float32)
+            off = 0 if self.rsu else 1
+            n = min(MA, tm.shape[0] - off)
+            trans[slot, :n] = tm[off : off + n]
+
+        return {
+            "bev": bev,
+            "bev_teacher": bev_teacher,
+            "label_one_hot": label,
+            "reg_target": reg_target,
+            "reg_mask": reg_mask,
+            "trans": trans,
+            "agent_mask": agent_mask,
+            "num_agent": np.int32(agent_mask.sum()),
+            "scene_frame": np.asarray(self.keys[i], np.int32),
+            "gt_boxes": gt_boxes,
+        }
+
+
+class V2XSimSeg(V2XSimDet):
+    """Segmentation dataset (SURVEY.md C3): BEV grids + per-cell class labels."""
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        cfg = self.config
+        MA = cfg.max_agents
+        H, W = cfg.map_dims
+        Z = cfg.grid_size[2]
+        bev = np.zeros((MA, H, W, Z), np.float32)
+        bev_teacher = np.zeros((MA, H, W, Z), np.float32)
+        seg = np.zeros((MA, H, W), np.int32)
+        trans = np.tile(np.eye(4, dtype=np.float32), (MA, MA, 1, 1))
+        agent_mask = np.zeros((MA,), bool)
+
+        for slot, path in self.index[self.keys[i]].items():
+            fr = schema.load_frame(path)
+            student = np.asarray(fr["padded_voxel_points"], np.float32)
+            teacher = np.asarray(
+                fr.get("padded_voxel_points_teacher", fr["padded_voxel_points"]), np.float32
+            )
+            if student.ndim == 4:
+                student, teacher = student[0], teacher[0]
+            if self.bound == "upperbound":
+                student = teacher
+            bev[slot] = student
+            bev_teacher[slot] = teacher
+            seg[slot] = np.asarray(fr["seg_label"], np.int32)
+            agent_mask[slot] = True
+            tm = np.asarray(fr["trans_matrices"], np.float32)
+            off = 0 if self.rsu else 1
+            n = min(MA, tm.shape[0] - off)
+            trans[slot, :n] = tm[off : off + n]
+
+        return {
+            "bev": bev,
+            "bev_teacher": bev_teacher,
+            "seg_label": seg,
+            "trans": trans,
+            "agent_mask": agent_mask,
+            "num_agent": np.int32(agent_mask.sum()),
+            "scene_frame": np.asarray(self.keys[i], np.int32),
+        }
+
+
+def collate_det(items: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    """Stack scene-frames into a batch; gt_boxes stay a ragged python list."""
+    out: Dict[str, np.ndarray] = {}
+    for k in items[0]:
+        if k == "gt_boxes":
+            out[k] = [it[k] for it in items]  # ragged, host-only (mAP eval)
+        else:
+            out[k] = np.stack([it[k] for it in items])
+    return out
+
+
+class BatchIterator:
+    """Shuffling, batching, background-prefetching iterator over a dataset.
+
+    Replaces torch DataLoader (SURVEY.md C2 rebuild note). Drops the last
+    partial batch (static shapes under jit). Prefetch depth 2 keeps the host
+    pipeline ahead of the device without unbounded memory.
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True, seed: int = 0, drop_last: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+        self.drop_last = drop_last
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        nb = len(self)
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+
+        def producer():
+            for b in range(nb):
+                idx = order[b * self.batch_size : (b + 1) * self.batch_size]
+                q.put(collate_det([self.dataset[int(i)] for i in idx]))
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item

@@ -1,0 +1,176 @@
+"""STPN backbone + detection heads (SURVEY.md C11, reference
+coperception/models/det/backbone/Backbone.py, MotionNet lineage README.md:104).
+
+TPU-first choices (vs the reference's NCHW torch conv stack):
+  * NHWC layout throughout — the native TPU conv layout;
+  * bf16 conv compute with fp32 params and fp32 BatchNorm — MXU-friendly,
+    numerically safe (SURVEY.md C11 rebuild note);
+  * nearest-neighbor upsample (pure reshape/broadcast, fuses into the following
+    conv) instead of transposed convs;
+  * encoder exposed stage-by-stage so intermediate-fusion models can fuse at
+    ``--layer k`` without re-running anything (SURVEY.md C12).
+
+Encoder: stages 32-64-128-256-512, each = two 3x3 ConvBNRelu, first conv of
+stages 1..4 has stride 2: 256^2 -> 16^2. Decoder: skip-concat pyramid back to
+stride 1, ending in a ``head_channels`` (128) map feeding 1x1-conv cls/reg heads
+(anchors x classes, anchors x box-code). Decoder stage outputs are returned for
+knowledge distillation (SURVEY.md C13/C20).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from disconet_tpu.config import Config
+
+
+def _dtype(name: str):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
+
+
+class ConvBNRelu(nn.Module):
+    """3x3 (or kxk) conv -> BatchNorm -> ReLU, bf16 matmul / fp32 statistics."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    dtype: str = "bfloat16"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding="SAME",
+            use_bias=False,
+            dtype=_dtype(self.dtype),
+            param_dtype=jnp.float32,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, dtype=jnp.float32, param_dtype=jnp.float32
+        )(x.astype(jnp.float32))
+        return nn.relu(x)
+
+
+class _EncoderStage(nn.Module):
+    features: int
+    stride: int
+    dtype: str
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBNRelu(self.features, stride=self.stride, dtype=self.dtype)(x, train)
+        x = ConvBNRelu(self.features, dtype=self.dtype)(x, train)
+        return x
+
+
+class _DecoderStage(nn.Module):
+    """Upsample 2x, concat skip, two ConvBNRelu."""
+
+    features: int
+    dtype: str
+
+    @nn.compact
+    def __call__(self, x, skip, train: bool = False):
+        x = upsample2x(x)
+        x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+        x = ConvBNRelu(self.features, dtype=self.dtype)(x, train)
+        x = ConvBNRelu(self.features, dtype=self.dtype)(x, train)
+        return x
+
+
+def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor 2x spatial upsample for (..., H, W, C)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+class STPN(nn.Module):
+    """Spatio-temporal pyramid network: staged encoder + skip decoder.
+
+    ``encode`` returns the per-stage feature list (strides 1,2,4,8,16);
+    ``decode`` consumes it (with any stage possibly replaced by a fused map) and
+    returns (head_input, decoder_features_for_KD).
+    """
+
+    channels: Sequence[int] = (32, 64, 128, 256, 512)
+    head_channels: int = 128
+    dtype: str = "bfloat16"
+
+    def setup(self):
+        self.stages = [
+            _EncoderStage(c, stride=(1 if i == 0 else 2), dtype=self.dtype)
+            for i, c in enumerate(self.channels)
+        ]
+        # decoder stage i upsamples from stage i+1 depth back to channels[i]
+        self.dec = [
+            _DecoderStage(self.channels[i], dtype=self.dtype)
+            for i in range(len(self.channels) - 1)
+        ]
+        self.head_conv = ConvBNRelu(self.head_channels, dtype=self.dtype)
+
+    def encode(self, x: jnp.ndarray, train: bool = False, upto: int | None = None):
+        """Run encoder stages 0..upto (inclusive); returns list of stage outputs."""
+        feats = []
+        n = len(self.stages) if upto is None else upto + 1
+        for i in range(n):
+            x = self.stages[i](x, train)
+            feats.append(x)
+        return feats
+
+    def decode(self, feats, train: bool = False):
+        """Skip-decoder over the stage list -> (head_input, kd_feature_list).
+
+        kd features are the decoder outputs coarse->fine plus the head input —
+        the per-pixel distillation targets (SURVEY.md §4.3).
+        """
+        x = feats[-1]
+        kd_feats = []
+        for i in reversed(range(len(self.dec))):
+            x = self.dec[i](x, feats[i], train)
+            kd_feats.append(x)
+        head_in = self.head_conv(x, train)
+        kd_feats.append(head_in)
+        return head_in, kd_feats
+
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        return self.decode(self.encode(x, train), train)
+
+
+class DetectionHeads(nn.Module):
+    """1x1-conv classification + regression heads at stride 1 (SURVEY.md C11).
+
+    Outputs fp32: (B, H, W, A, num_classes) logits and (B, H, W, A, code) deltas.
+    """
+
+    num_anchors: int
+    num_classes: int
+    box_code_size: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        B, H, W, _ = x.shape
+        x = x.astype(jnp.float32)
+        cls = nn.Conv(self.num_anchors * self.num_classes, (1, 1), param_dtype=jnp.float32)(x)
+        reg = nn.Conv(self.num_anchors * self.box_code_size, (1, 1), param_dtype=jnp.float32)(x)
+        return (
+            cls.reshape(B, H, W, self.num_anchors, self.num_classes),
+            reg.reshape(B, H, W, self.num_anchors, self.box_code_size),
+        )
+
+
+def make_stpn(config: Config) -> STPN:
+    return STPN(channels=tuple(config.backbone_channels), head_channels=config.head_channels, dtype=config.compute_dtype)
+
+
+def make_heads(config: Config) -> DetectionHeads:
+    return DetectionHeads(
+        num_anchors=config.num_anchors,
+        num_classes=config.num_classes,
+        box_code_size=config.box_code_size,
+    )

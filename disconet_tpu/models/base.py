@@ -1,0 +1,155 @@
+"""Fusion/communication core (SURVEY.md C12, reference models/det/base/DetModelBase.py).
+
+The reference simulates V2X communication with python loops over (batch,
+receiver, sender), one ``grid_sample`` launch per pair (SURVEY.md §4.1 hot spot
+1). Here the whole thing is tensor-shaped from the start:
+
+  * the agent axis is a real array axis — ``agents_to_batch`` folds (B, A, ...)
+    to (B*A, ...) for the conv stack, exactly the reference's folding but as a
+    zero-cost reshape;
+  * ``warp_all_pairs`` produces every sender->receiver warp for the whole batch
+    as one vmapped bilinear gather, (B, A, A, h, w, C) in a single XLA op tree;
+  * absent agents (scenes have 2-6 agents) are carried as a boolean
+    ``agent_mask``; :func:`sender_softmax` and the masked reductions guarantee
+    padding never leaks into fusion (SURVEY.md §7 "hard parts").
+
+``IntermediateFusionModel`` is the shared skeleton of every ``--com`` model
+(SURVEY.md C13, C16-C18): encode per agent -> fuse at ``--layer k`` -> decode
+with per-agent skips -> heads. Subclasses implement only ``fuse``.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from disconet_tpu.config import Config
+from disconet_tpu.models.backbone import make_heads, make_stpn
+from disconet_tpu.ops.warp import warp_features
+import jax
+
+
+def agents_to_batch(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, A, ...) -> (B*A, ...) — reference DetModelBase.agents_to_batch."""
+    return x.reshape((-1,) + x.shape[2:])
+
+
+def batch_to_agents(x: jnp.ndarray, batch: int, agents: int) -> jnp.ndarray:
+    """(B*A, ...) -> (B, A, ...)."""
+    return x.reshape((batch, agents) + x.shape[1:])
+
+
+def warp_all_pairs(
+    feats: jnp.ndarray, trans: jnp.ndarray, extent_xy: Tuple
+) -> jnp.ndarray:
+    """All sender->receiver warps for a batch.
+
+    Args:
+        feats: (B, A, h, w, C) per-agent feature maps at the fusion layer.
+        trans: (B, A, A, 4, 4); trans[b, i, j] maps sender-j -> receiver-i frame.
+        extent_xy: metric ((x_lo, x_hi), (y_lo, y_hi)) of the full map. The
+            fusion layer's downsampled grid covers the same metric extent, so
+            the same extents apply at every stride.
+
+    Returns:
+        (B, A_recv, A_send, h, w, C), zeros outside each sender's field of view.
+    """
+    return jax.vmap(lambda f, t: warp_features(f, t, extent_xy))(feats, trans)
+
+
+def sender_softmax(scores: jnp.ndarray, agent_mask: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel softmax over the sender axis, masking absent agents.
+
+    Args:
+        scores: (B, A_recv, A_send, h, w) raw edge scores.
+        agent_mask: (B, A) present-agent mask.
+    Returns:
+        weights of the same shape; absent senders get exactly 0 weight, and the
+        remaining weights sum to 1 over present senders (SURVEY.md §4.3
+        invariant: softmax over *present* senders only).
+    """
+    neg = jnp.finfo(scores.dtype).min
+    m = agent_mask[:, None, :, None, None]
+    return jax.nn.softmax(jnp.where(m, scores, neg), axis=2)
+
+
+def masked_sender_reduce(
+    warped: jnp.ndarray, agent_mask: jnp.ndarray, op: str
+) -> jnp.ndarray:
+    """sum/mean/max over the sender axis of (B, Ar, As, h, w, C), mask-aware."""
+    m = agent_mask[:, None, :, None, None, None].astype(warped.dtype)
+    if op == "sum":
+        return jnp.sum(warped * m, axis=2)
+    if op == "mean":
+        denom = jnp.maximum(jnp.sum(m, axis=2), 1.0)
+        return jnp.sum(warped * m, axis=2) / denom
+    if op == "max":
+        neg = jnp.finfo(warped.dtype).min
+        return jnp.max(jnp.where(m > 0, warped, neg), axis=2)
+    raise ValueError(op)
+
+
+class IntermediateFusionModel(nn.Module):
+    """Shared forward skeleton of every intermediate-collaboration detector.
+
+    Matches the reference structure (SURVEY.md §4.1/§4.3): the encoder runs all
+    stages per agent BEFORE fusion; the fused map replaces the stage-``layer``
+    feature in the decoder's skip pyramid (deeper stages keep their per-agent,
+    pre-fusion values). Subclasses implement :meth:`fuse`.
+    """
+
+    config: Config
+    kd_flag: bool = False
+    layer: int = 3
+
+    def setup(self):
+        self.stpn = make_stpn(self.config)
+        self.heads = make_heads(self.config)
+        self.setup_fusion()
+
+    def setup_fusion(self):  # overridable hook for fusion-specific submodules
+        pass
+
+    def fuse(
+        self,
+        feats_k: jnp.ndarray,  # (B, A, h, w, C) layer-k features
+        warped: jnp.ndarray,  # (B, Ar, As, h, w, C)
+        agent_mask: jnp.ndarray,  # (B, A)
+        train: bool,
+        trans: Optional[jnp.ndarray] = None,  # (B, A, A, 4, 4), for re-warping
+    ) -> jnp.ndarray:  # (B, A, h, w, C)
+        raise NotImplementedError
+
+    def __call__(
+        self,
+        bev: jnp.ndarray,  # (B, A, H, W, Z)
+        trans: jnp.ndarray,  # (B, A, A, 4, 4)
+        agent_mask: jnp.ndarray,  # (B, A) bool
+        train: bool = False,
+    ):
+        B, A = bev.shape[0], bev.shape[1]
+        x = agents_to_batch(bev.astype(jnp.float32))
+        feats = self.stpn.encode(x, train)
+
+        k = self.layer
+        fk = batch_to_agents(feats[k], B, A).astype(jnp.float32)
+        extent = self.config.area_extents[:2]
+        warped = warp_all_pairs(fk, trans, extent)  # (B, Ar, As, h, w, C)
+        fused = self.fuse(fk, warped, agent_mask, train, trans=trans)
+
+        feats = list(feats)
+        feats[k] = agents_to_batch(fused)
+        head_in, kd_feats = self.stpn.decode(feats, train)
+        cls, reg = self.heads(head_in)
+
+        out = {
+            "cls": batch_to_agents(cls, B, A),
+            "reg": batch_to_agents(reg, B, A),
+        }
+        if self.kd_flag:
+            out["kd_feats"] = [
+                batch_to_agents(f.astype(jnp.float32), B, A) for f in kd_feats
+            ]
+        return out

@@ -1,0 +1,50 @@
+"""DiscoNet student (SURVEY.md C13, reference coperception/models/det/DiscoNet.py).
+
+The centerpiece: matrix-valued edge weights (the DiscoGraph). For receiver i,
+every sender j's layer-k feature map is warped into i's frame; a 1x1-conv stack
+scores cat(ego_i, warped_j) per pixel; a per-pixel softmax across *present*
+senders (self-edge included) yields W_j->i (the heat-maps of img.png d-e); the
+fused map is the weighted sum. All (B, Ar, As) pairs run as one batched conv —
+the scoring network is 1x1 convs, so folding (B*Ar*As) into the batch axis is
+exact and keeps the MXU busy instead of launching O(B*A^2) little kernels.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from disconet_tpu.models.backbone import ConvBNRelu
+from disconet_tpu.models.base import IntermediateFusionModel, sender_softmax
+
+
+class PixelWeightedFusion(nn.Module):
+    """Per-pixel edge scorer: 1x1 convs 2C -> 128 -> 32 -> 8 -> 1 (BN+ReLU
+    hidden, linear output) — reference PixelWeightedFusionSoftmax."""
+
+    dtype: str = "bfloat16"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        for c in (128, 32, 8):
+            x = ConvBNRelu(c, kernel=1, dtype=self.dtype)(x, train)
+        x = nn.Conv(1, (1, 1), param_dtype=jnp.float32, dtype=jnp.float32)(
+            x.astype(jnp.float32)
+        )
+        return x[..., 0]  # (..., h, w)
+
+
+class DiscoNet(IntermediateFusionModel):
+    """Intermediate-collaboration student with DiscoGraph fusion."""
+
+    def setup_fusion(self):
+        self.weight_net = PixelWeightedFusion(dtype=self.config.compute_dtype)
+
+    def fuse(self, feats_k, warped, agent_mask, train, trans=None):
+        B, Ar, As, h, w, C = warped.shape
+        ego = jnp.broadcast_to(feats_k[:, :, None], warped.shape)
+        pair = jnp.concatenate([ego, warped], axis=-1)  # (B, Ar, As, h, w, 2C)
+        scores = self.weight_net(pair.reshape(B * Ar * As, h, w, 2 * C), train)
+        scores = scores.reshape(B, Ar, As, h, w)
+        weights = sender_softmax(scores, agent_mask)  # (B, Ar, As, h, w)
+        return jnp.sum(weights[..., None] * warped, axis=2)  # (B, A, h, w, C)

@@ -171,6 +171,20 @@ def _pairwise_intersection_area(corners_a: jnp.ndarray, corners_b: jnp.ndarray) 
 
 
 @jax.jit
+def rotated_iou_pairs(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise rotated IoU between paired boxes (P, 5) x (P, 5) -> (P,).
+
+    Used by anchor-target assignment (C7) where only candidate (anchor, gt) pairs
+    near each other are evaluated instead of the full N x M matrix.
+    """
+    ca = box_corners(boxes_a).astype(jnp.float32)
+    cb = box_corners(boxes_b).astype(jnp.float32)
+    inter = jax.vmap(_pairwise_intersection_area)(ca, cb)
+    union = boxes_a[:, 2] * boxes_a[:, 3] + boxes_b[:, 2] * boxes_b[:, 3] - inter
+    return jnp.where(union > _EPS, inter / union, 0.0)
+
+
+@jax.jit
 def rotated_iou_matrix(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:
     """(N, M) rotated IoU between boxes (N, 5) and (M, 5), jit-compiled.
 
