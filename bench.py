@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""End-to-end throughput benchmark (BASELINE.json north star).
+
+Measures scenes/sec/chip for the full fused pipeline on the flagship DiscoNet
+at the reference geometry (256x256x13 BEV, 6 agents):
+
+    points -> on-device voxelize -> encode -> warp -> DiscoGraph fuse ->
+    decode -> heads -> anchor decode -> rotated NMS
+
+One XLA graph, bf16 conv compute. Prints ONE JSON line.
+
+``vs_baseline``: no published reference throughput exists (BASELINE.md — the
+reference repo publishes no perf numbers and its GPU is unspecified), so the
+denominator is this framework's own round-1 recorded result on the same
+hardware (REF_SCENES_PER_SEC below); >1.0 means faster than round 1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from disconet_tpu.utils.env import setup as _env_setup
+
+_env_setup()  # compile cache + honor JAX_PLATFORMS over sitecustomize override
+
+import numpy as np
+
+# round-1 measured value on TPU v5 lite (1 chip); update when the kernel work
+# moves it and note the change in BASELINE.md
+REF_SCENES_PER_SEC = None  # set after the first real-hardware run
+
+BATCH = int(os.environ.get("BENCH_BATCH", "4"))
+AGENTS = 6
+POINTS = 16384  # padded LiDAR points per agent
+WARMUP = 3
+ITERS = 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from disconet_tpu.config import Config
+    from disconet_tpu.models import build_model
+    from disconet_tpu.ops.boxes import decode_boxes, make_anchors
+    from disconet_tpu.ops.nms import rotated_nms
+    from disconet_tpu.ops.voxelize import voxelize_occupy_jax
+    from __graft_entry__ import _example_batch
+
+    cfg = Config()
+    model = build_model("disco", cfg)
+    _, trans, mask = _example_batch(cfg, BATCH, AGENTS)
+
+    rng = np.random.default_rng(0)
+    (x_lo, x_hi), (y_lo, y_hi), (z_lo, z_hi) = cfg.area_extents
+    pts = rng.uniform(
+        [x_lo, y_lo, z_lo], [x_hi, y_hi, z_hi], size=(BATCH, AGENTS, POINTS, 3)
+    ).astype(np.float32)
+
+    anchors = make_anchors(cfg).reshape(-1, 5)
+    K = cfg.nms_top_k
+
+    bev0 = voxelize_occupy_jax(
+        jnp.asarray(pts[0, 0]), cfg.voxel_size, cfg.area_extents
+    )
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((BATCH, AGENTS) + bev0.shape, jnp.float32),
+        jnp.asarray(trans),
+        jnp.asarray(mask),
+    )
+
+    @jax.jit
+    def pipeline(variables, pts, trans, mask):
+        bev = voxelize_occupy_jax(pts, cfg.voxel_size, cfg.area_extents)
+        out = model.apply(variables, bev, trans, mask, train=False)
+        B, A = out["cls"].shape[:2]
+        n = anchors.shape[0]
+        scores = jax.nn.softmax(out["cls"].astype(jnp.float32), -1)[..., 1].reshape(B * A, n)
+        boxes = decode_boxes(out["reg"].reshape(B * A, n, cfg.box_code_size), anchors[None])
+        import functools
+
+        nms = functools.partial(
+            rotated_nms,
+            iou_threshold=cfg.nms_iou_threshold,
+            score_threshold=cfg.score_threshold,
+            top_k=K,
+        )
+        b, s, keep = jax.vmap(nms)(boxes, scores)
+        return b, s, keep
+
+    args = (variables, jnp.asarray(pts), jnp.asarray(trans), jnp.asarray(mask))
+    for _ in range(WARMUP):
+        out = pipeline(*args)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = pipeline(*args)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    scenes_per_sec = BATCH * ITERS / dt
+    vs = scenes_per_sec / REF_SCENES_PER_SEC if REF_SCENES_PER_SEC else 1.0
+    print(
+        json.dumps(
+            {
+                "metric": "scenes_per_sec_per_chip_voxelize_fuse_detect",
+                "value": round(scenes_per_sec, 3),
+                "unit": "scenes/s",
+                "vs_baseline": round(vs, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -215,6 +215,7 @@ def scene_to_frames(scene: Dict, config: Config, anchors: np.ndarray | None = No
             (boxes_i[:, 0] >= x_lo) & (boxes_i[:, 0] < x_hi)
             & (boxes_i[:, 1] >= y_lo) & (boxes_i[:, 1] < y_hi)
         )
+        track_ids = np.nonzero(inside)[0].astype(np.int32)  # world box index = identity
         boxes_i = boxes_i[inside]
 
         tgt = assign_targets(boxes_i, config, anchors=anchors)
@@ -241,6 +242,7 @@ def scene_to_frames(scene: Dict, config: Config, anchors: np.ndarray | None = No
                 "vis_maps": bev.max(axis=-1).astype(np.float32),
                 "gt_max_iou": tgt["gt_max_iou"],
                 "gt_boxes": boxes_i.astype(np.float32),
+                "gt_track_ids": track_ids,
                 "target_agent_id": np.int32(i),
                 "num_agent": np.int32(A),
                 "trans_matrices": trans,

@@ -15,8 +15,8 @@ Assignment rule (FaF/MotionNet lineage, tier-[B]):
     encode(best gt, anchor); everything else is background ``[1, 0]``;
   * ``reg_loss_mask`` marks positives (the reg loss is masked, SURVEY.md C9).
 
-This runs on host at data-creation time (numpy in / numpy out); the inner IoU is
-jax on whatever backend is default (works unjitted with dynamic pair counts).
+This runs on host at data-creation time and is pure numpy end to end (vectorized
+rotated IoU + encode) — no device dispatch in the data path.
 """
 
 from __future__ import annotations
@@ -26,8 +26,8 @@ from typing import Dict
 import numpy as np
 
 from disconet_tpu.config import Config
-from disconet_tpu.ops.boxes import encode_boxes, make_anchors
-from disconet_tpu.ops.rotated_iou import rotated_iou_pairs
+from disconet_tpu.ops.boxes import encode_boxes_np, make_anchors
+from disconet_tpu.ops.rotated_iou import rotated_iou_pairs_np
 
 
 def assign_targets(gt_boxes: np.ndarray, config: Config, anchors: np.ndarray | None = None) -> Dict[str, np.ndarray]:
@@ -68,10 +68,8 @@ def assign_targets(gt_boxes: np.ndarray, config: Config, anchors: np.ndarray | N
             if cand.size == 0:
                 # degenerate: force the nearest anchor later via gt_max_iou slot
                 cand = np.array([int(np.argmin(d))])
-            ious = np.asarray(
-                rotated_iou_pairs(
-                    flat_anchors[cand], np.broadcast_to(gt_boxes[g], (cand.size, 5))
-                )
+            ious = rotated_iou_pairs_np(
+                flat_anchors[cand], np.broadcast_to(gt_boxes[g], (cand.size, 5))
             )
             upd = ious > best_iou[cand]
             best_iou[cand[upd]] = ious[upd]
@@ -89,8 +87,8 @@ def assign_targets(gt_boxes: np.ndarray, config: Config, anchors: np.ndarray | N
         pos_idx = np.nonzero(reg_mask)[0]
         if pos_idx.size:
             matched = gt_boxes[best_gt[pos_idx]]
-            reg_target[pos_idx] = np.asarray(
-                encode_boxes(matched, flat_anchors[pos_idx]), dtype=np.float32
+            reg_target[pos_idx] = encode_boxes_np(matched, flat_anchors[pos_idx]).astype(
+                np.float32
             )
             label[pos_idx, 0] = 0.0
             label[pos_idx, 1] = 1.0

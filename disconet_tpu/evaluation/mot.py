@@ -1,0 +1,93 @@
+"""CLEAR-MOT metrics (SURVEY.md C26, reference tools/track eval scripts).
+
+motmetrics is not installed (SURVEY.md §7 environment note), so the CLEAR-MOT
+accumulator (Bernardin & Stiefelhagen 2008) is implemented directly: per frame,
+existing gt<->hypothesis correspondences are kept while still valid (IoU >=
+threshold), remaining pairs are Hungarian-matched on IoU; misses, false
+positives and identity switches accumulate into MOTA, matched-IoU into MOTP.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+from scipy.optimize import linear_sum_assignment
+
+from disconet_tpu.ops.rotated_iou import rotated_iou_matrix_np
+
+
+def clear_mot(
+    gt_frames: Sequence[Tuple[np.ndarray, np.ndarray]],
+    hyp_frames: Sequence[Tuple[np.ndarray, np.ndarray]],
+    iou_threshold: float = 0.5,
+) -> Dict[str, float]:
+    """CLEAR-MOT over one sequence.
+
+    Args:
+        gt_frames: per frame, (gt_boxes (G,5), gt_ids (G,)).
+        hyp_frames: per frame, (hyp_boxes (H,5), hyp_ids (H,)).
+        iou_threshold: a correspondence is valid while IoU >= this.
+    Returns:
+        dict with MOTA, MOTP, misses, false_positives, id_switches, num_gt,
+        matches, mostly-tracked helpers are left to callers.
+    """
+    assert len(gt_frames) == len(hyp_frames)
+    misses = fps = idsw = num_gt = matches = 0
+    iou_sum = 0.0
+    corr: Dict[int, int] = {}  # gt id -> hyp id from previous frames
+    last_hyp: Dict[int, int] = {}  # gt id -> last matched hyp id (for idsw)
+
+    for (g_boxes, g_ids), (h_boxes, h_ids) in zip(gt_frames, hyp_frames):
+        g_boxes = np.asarray(g_boxes, np.float64).reshape(-1, 5)
+        h_boxes = np.asarray(h_boxes, np.float64).reshape(-1, 5)
+        g_ids = list(np.asarray(g_ids).astype(int))
+        h_ids = list(np.asarray(h_ids).astype(int))
+        num_gt += len(g_ids)
+
+        iou = rotated_iou_matrix_np(g_boxes, h_boxes) if len(g_ids) and len(h_ids) else np.zeros((len(g_ids), len(h_ids)))
+
+        matched_g: Dict[int, int] = {}  # gt index -> hyp index
+        used_h = set()
+        # 1) keep valid existing correspondences
+        for gi, gid in enumerate(g_ids):
+            hid = corr.get(gid)
+            if hid is not None and hid in h_ids:
+                hj = h_ids.index(hid)
+                if iou[gi, hj] >= iou_threshold:
+                    matched_g[gi] = hj
+                    used_h.add(hj)
+        # 2) Hungarian over the rest
+        free_g = [i for i in range(len(g_ids)) if i not in matched_g]
+        free_h = [j for j in range(len(h_ids)) if j not in used_h]
+        if free_g and free_h:
+            sub = iou[np.ix_(free_g, free_h)]
+            rows, cols = linear_sum_assignment(-sub)
+            for r, c in zip(rows, cols):
+                if sub[r, c] >= iou_threshold:
+                    matched_g[free_g[r]] = free_h[c]
+                    used_h.add(free_h[c])
+
+        for gi, hj in matched_g.items():
+            gid, hid = g_ids[gi], h_ids[hj]
+            if gid in last_hyp and last_hyp[gid] != hid:
+                idsw += 1
+            last_hyp[gid] = hid
+            corr[gid] = hid
+            matches += 1
+            iou_sum += iou[gi, hj]
+
+        misses += len(g_ids) - len(matched_g)
+        fps += len(h_ids) - len(used_h)
+
+    mota = 1.0 - (misses + fps + idsw) / max(num_gt, 1)
+    motp = iou_sum / max(matches, 1)
+    return {
+        "MOTA": mota,
+        "MOTP": motp,
+        "misses": misses,
+        "false_positives": fps,
+        "id_switches": idsw,
+        "num_gt": num_gt,
+        "matches": matches,
+    }

@@ -50,8 +50,14 @@ class ConvBNRelu(nn.Module):
             dtype=_dtype(self.dtype),
             param_dtype=jnp.float32,
         )(x)
+        # momentum 0.9 = torch BatchNorm2d default (momentum=0.1 decay); flax's
+        # 0.99 default leaves running stats stale for 100-epoch runs — stale
+        # stats put eval-mode detections in the wrong place entirely
         x = nn.BatchNorm(
-            use_running_average=not train, dtype=jnp.float32, param_dtype=jnp.float32
+            use_running_average=not train,
+            momentum=0.9,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
         )(x.astype(jnp.float32))
         return nn.relu(x)
 
@@ -161,6 +167,18 @@ class DetectionHeads(nn.Module):
         return (
             cls.reshape(B, H, W, self.num_anchors, self.num_classes),
             reg.reshape(B, H, W, self.num_anchors, self.box_code_size),
+        )
+
+
+class SegHead(nn.Module):
+    """1x1-conv per-cell semantic head (SURVEY.md C19): (B, H, W, num_classes)."""
+
+    num_classes: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(self.num_classes, (1, 1), param_dtype=jnp.float32)(
+            x.astype(jnp.float32)
         )
 
 

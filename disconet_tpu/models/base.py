@@ -26,7 +26,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from disconet_tpu.config import Config
-from disconet_tpu.models.backbone import make_heads, make_stpn
+from disconet_tpu.models.backbone import SegHead, make_heads, make_stpn
 from disconet_tpu.ops.warp import warp_features
 import jax
 
@@ -103,10 +103,14 @@ class IntermediateFusionModel(nn.Module):
     config: Config
     kd_flag: bool = False
     layer: int = 3
+    task: str = "det"  # 'det' (cls+reg heads) or 'seg' (per-cell classes, C19)
 
     def setup(self):
         self.stpn = make_stpn(self.config)
-        self.heads = make_heads(self.config)
+        if self.task == "det":
+            self.heads = make_heads(self.config)
+        else:
+            self.seg_head = SegHead(self.config.num_seg_classes)
         self.setup_fusion()
 
     def setup_fusion(self):  # overridable hook for fusion-specific submodules
@@ -142,12 +146,14 @@ class IntermediateFusionModel(nn.Module):
         feats = list(feats)
         feats[k] = agents_to_batch(fused)
         head_in, kd_feats = self.stpn.decode(feats, train)
-        cls, reg = self.heads(head_in)
-
-        out = {
-            "cls": batch_to_agents(cls, B, A),
-            "reg": batch_to_agents(reg, B, A),
-        }
+        if self.task == "det":
+            cls, reg = self.heads(head_in)
+            out = {
+                "cls": batch_to_agents(cls, B, A),
+                "reg": batch_to_agents(reg, B, A),
+            }
+        else:
+            out = {"seg": batch_to_agents(self.seg_head(head_in), B, A)}
         if self.kd_flag:
             out["kd_feats"] = [
                 batch_to_agents(f.astype(jnp.float32), B, A) for f in kd_feats

@@ -38,13 +38,18 @@ def build_model(
     kd_flag: bool = False,
     layer: int = 3,
     warp_flag: bool = True,
+    task: str = "det",
 ):
-    """Instantiate the model for a ``--com`` / ``--bound`` selection."""
+    """Instantiate the model for a ``--com`` / ``--bound`` selection.
+
+    ``task='seg'`` yields the segmentation variant of the same fusion model
+    (SURVEY.md C19: the seg model zoo mirrors det).
+    """
     com = (com or "").lower()
     if com in ("", "lowerbound", "upperbound", "faf"):
-        return FaFNet(config=config, kd_flag=kd_flag)
+        return FaFNet(config=config, kd_flag=kd_flag, task=task)
     if com == "teacher":
-        return TeacherNet(config=config)
+        return TeacherNet(config=config, task=task)
     if com in ("when2com", "who2com"):
         return When2com(
             config=config,
@@ -52,7 +57,8 @@ def build_model(
             layer=layer,
             warp_flag=warp_flag,
             hard_select=(com == "who2com"),
+            task=task,
         )
     if com in _FUSION:
-        return _FUSION[com](config=config, kd_flag=kd_flag, layer=layer)
+        return _FUSION[com](config=config, kd_flag=kd_flag, layer=layer, task=task)
     raise ValueError(f"unknown --com '{com}'")

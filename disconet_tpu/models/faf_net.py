@@ -15,29 +15,40 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from disconet_tpu.config import Config
-from disconet_tpu.models.backbone import make_heads, make_stpn
+from disconet_tpu.models.backbone import SegHead, make_heads, make_stpn
 from disconet_tpu.models.base import agents_to_batch, batch_to_agents
 
 
 class FaFNet(nn.Module):
-    """Single-agent detector: STPN + heads, agents folded into batch."""
+    """Single-agent model: STPN + task heads, agents folded into batch.
+
+    ``task='seg'`` makes this the reference's single-agent UNet segmenter
+    (SURVEY.md C19) — the STPN decoder is already a UNet-style skip pyramid.
+    """
 
     config: Config
     kd_flag: bool = False
+    task: str = "det"
 
     def setup(self):
         self.stpn = make_stpn(self.config)
-        self.heads = make_heads(self.config)
+        if self.task == "det":
+            self.heads = make_heads(self.config)
+        else:
+            self.seg_head = SegHead(self.config.num_seg_classes)
 
     def __call__(self, bev, trans=None, agent_mask=None, train: bool = False):
         B, A = bev.shape[0], bev.shape[1]
         x = agents_to_batch(bev.astype(jnp.float32))
         head_in, kd_feats = self.stpn(x, train)
-        cls, reg = self.heads(head_in)
-        out = {
-            "cls": batch_to_agents(cls, B, A),
-            "reg": batch_to_agents(reg, B, A),
-        }
+        if self.task == "det":
+            cls, reg = self.heads(head_in)
+            out = {
+                "cls": batch_to_agents(cls, B, A),
+                "reg": batch_to_agents(reg, B, A),
+            }
+        else:
+            out = {"seg": batch_to_agents(self.seg_head(head_in), B, A)}
         if self.kd_flag:
             out["kd_feats"] = [
                 batch_to_agents(f.astype(jnp.float32), B, A) for f in kd_feats

@@ -7,6 +7,7 @@ used as parity references in tests (SURVEY.md §5.1 rebuild test strategy).
 from disconet_tpu.ops.boxes import (  # noqa: F401
     make_anchors,
     encode_boxes,
+    encode_boxes_np,
     decode_boxes,
     box_corners,
     box_corners_np,
@@ -25,6 +26,9 @@ from disconet_tpu.ops.warp import (  # noqa: F401
 from disconet_tpu.ops.rotated_iou import (  # noqa: F401
     rotated_iou_np,
     rotated_iou_matrix,
+    rotated_iou_pairs,
+    rotated_iou_pairs_np,
+    rotated_iou_matrix_np,
 )
 from disconet_tpu.ops.nms import rotated_nms  # noqa: F401
 from disconet_tpu.ops.losses import (  # noqa: F401

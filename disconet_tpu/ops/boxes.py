@@ -40,6 +40,17 @@ def make_anchors(config: Config) -> np.ndarray:
     return anchors
 
 
+def _encode_impl(gt, anchors, xp):
+    da = xp.sqrt(anchors[..., 2] ** 2 + anchors[..., 3] ** 2)
+    dx = (gt[..., 0] - anchors[..., 0]) / da
+    dy = (gt[..., 1] - anchors[..., 1]) / da
+    dw = xp.log(gt[..., 2] / anchors[..., 2])
+    dl = xp.log(gt[..., 3] / anchors[..., 3])
+    s = xp.sin(gt[..., 4])
+    c = xp.cos(gt[..., 4])
+    return xp.stack([dx, dy, dw, dl, s, c], axis=-1)
+
+
 def encode_boxes(gt: Array, anchors: Array) -> jnp.ndarray:
     """Encode gt boxes (..., 5) against anchors (..., 5) -> deltas (..., 6).
 
@@ -48,16 +59,14 @@ def encode_boxes(gt: Array, anchors: Array) -> jnp.ndarray:
         dw = log(gw / aw),     dl = log(gl / al)
         s  = sin(g_theta),     c = cos(g_theta)       (absolute angle regression)
     """
-    gt = jnp.asarray(gt)
-    anchors = jnp.asarray(anchors)
-    da = jnp.sqrt(anchors[..., 2] ** 2 + anchors[..., 3] ** 2)
-    dx = (gt[..., 0] - anchors[..., 0]) / da
-    dy = (gt[..., 1] - anchors[..., 1]) / da
-    dw = jnp.log(gt[..., 2] / anchors[..., 2])
-    dl = jnp.log(gt[..., 3] / anchors[..., 3])
-    s = jnp.sin(gt[..., 4])
-    c = jnp.cos(gt[..., 4])
-    return jnp.stack([dx, dy, dw, dl, s, c], axis=-1)
+    return _encode_impl(jnp.asarray(gt), jnp.asarray(anchors), jnp)
+
+
+def encode_boxes_np(gt: np.ndarray, anchors: np.ndarray) -> np.ndarray:
+    """Numpy twin of :func:`encode_boxes` for host-side data creation — keeps
+    target assignment free of device dispatch (the TPU here sits behind a slow
+    tunnel; data creation must never touch it)."""
+    return _encode_impl(np.asarray(gt, np.float64), np.asarray(anchors, np.float64), np)
 
 
 def decode_boxes(deltas: Array, anchors: Array) -> jnp.ndarray:

@@ -92,6 +92,98 @@ def rotated_iou_np(boxes_a: np.ndarray, boxes_b: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# vectorized numpy version (host-side: target assignment, mAP, SORT)
+# ---------------------------------------------------------------------------
+
+def _intersection_area_batched_np(ca: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """Vectorized candidate-point intersection area over (..., 4, 2) corner
+    arrays — the numpy twin of :func:`_pairwise_intersection_area`, used on the
+    host where XLA compile time would dominate (target assignment runs at
+    data-creation time on thousands of small pair sets)."""
+    eps = _EPS
+
+    def force_ccw(c):
+        x, y = c[..., 0], c[..., 1]
+        signed = np.sum(x * np.roll(y, -1, axis=-1) - y * np.roll(x, -1, axis=-1), axis=-1)
+        return np.where(signed[..., None, None] >= 0, c, c[..., ::-1, :])
+
+    ca = force_ccw(np.asarray(ca, np.float64))
+    cb = force_ccw(np.asarray(cb, np.float64))
+
+    a1, a2 = ca, np.roll(ca, -1, axis=-2)
+    b1, b2 = cb, np.roll(cb, -1, axis=-2)
+    p = a1[..., :, None, :]
+    r = (a2 - a1)[..., :, None, :]
+    q = b1[..., None, :, :]
+    s = (b2 - b1)[..., None, :, :]
+    rxs = r[..., 0] * s[..., 1] - r[..., 1] * s[..., 0]
+    qmp = q - p
+    t_num = qmp[..., 0] * s[..., 1] - qmp[..., 1] * s[..., 0]
+    u_num = qmp[..., 0] * r[..., 1] - qmp[..., 1] * r[..., 0]
+    denom = np.where(np.abs(rxs) < eps, 1.0, rxs)
+    t = t_num / denom
+    u = u_num / denom
+    valid_int = (np.abs(rxs) >= eps) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+    inter_pts = p + t[..., None] * r  # (..., 4, 4, 2)
+
+    def inside(points, corners):
+        # scale-invariant tolerance: see the jnp twin's comment
+        e1, e2 = corners, np.roll(corners, -1, axis=-2)
+        d = e2 - e1
+        v = points[..., :, None, :] - e1[..., None, :, :]
+        cross = d[..., None, :, 0] * v[..., 1] - d[..., None, :, 1] * v[..., 0]
+        elen = np.sqrt(d[..., 0] ** 2 + d[..., 1] ** 2)[..., None, :]
+        return np.all(cross >= -1e-4 * (elen + eps), axis=-1)
+
+    batch = ca.shape[:-2]
+    pts = np.concatenate(
+        [inter_pts.reshape(batch + (16, 2)), ca, cb], axis=-2
+    )  # (..., 24, 2)
+    valid = np.concatenate(
+        [valid_int.reshape(batch + (16,)), inside(ca, cb), inside(cb, ca)], axis=-1
+    )
+
+    num_valid = valid.sum(axis=-1)
+    centroid = np.where(valid[..., None], pts, 0.0).sum(axis=-2) / np.maximum(
+        num_valid, 1
+    )[..., None]
+    ang = np.arctan2(pts[..., 1] - centroid[..., None, 1], pts[..., 0] - centroid[..., None, 0])
+    ang = np.where(valid, ang, np.inf)
+    order = np.argsort(ang, axis=-1)
+    pts_sorted = np.take_along_axis(pts, order[..., None], axis=-2)
+    valid_sorted = np.take_along_axis(valid, order, axis=-1)
+    first = pts_sorted[..., :1, :]
+    pts_closed = np.where(valid_sorted[..., None], pts_sorted, first)
+    nxt = np.roll(pts_closed, -1, axis=-2)
+    cross = pts_closed[..., 0] * nxt[..., 1] - pts_closed[..., 1] * nxt[..., 0]
+    area = 0.5 * np.abs(cross.sum(axis=-1))
+    return np.where(num_valid >= 3, area, 0.0)
+
+
+def rotated_iou_pairs_np(boxes_a: np.ndarray, boxes_b: np.ndarray) -> np.ndarray:
+    """Elementwise rotated IoU (P,) over paired boxes, vectorized numpy."""
+    boxes_a = np.asarray(boxes_a, np.float64).reshape(-1, 5)
+    boxes_b = np.asarray(boxes_b, np.float64).reshape(-1, 5)
+    inter = _intersection_area_batched_np(box_corners_np(boxes_a), box_corners_np(boxes_b))
+    union = boxes_a[:, 2] * boxes_a[:, 3] + boxes_b[:, 2] * boxes_b[:, 3] - inter
+    return np.where(union > _EPS, inter / union, 0.0)
+
+
+def rotated_iou_matrix_np(boxes_a: np.ndarray, boxes_b: np.ndarray) -> np.ndarray:
+    """(N, M) rotated IoU, vectorized numpy (host-side mAP / SORT hot path)."""
+    boxes_a = np.atleast_2d(np.asarray(boxes_a, np.float64))
+    boxes_b = np.atleast_2d(np.asarray(boxes_b, np.float64))
+    ca = box_corners_np(boxes_a)[:, None]  # (N, 1, 4, 2)
+    cb = box_corners_np(boxes_b)[None, :]  # (1, M, 4, 2)
+    N, M = len(boxes_a), len(boxes_b)
+    inter = _intersection_area_batched_np(
+        np.broadcast_to(ca, (N, M, 4, 2)), np.broadcast_to(cb, (N, M, 4, 2))
+    )
+    union = (boxes_a[:, 2] * boxes_a[:, 3])[:, None] + (boxes_b[:, 2] * boxes_b[:, 3])[None] - inter
+    return np.where(union > _EPS, inter / union, 0.0)
+
+
+# ---------------------------------------------------------------------------
 # vectorized jnp version (static shapes, VPU-friendly)
 # ---------------------------------------------------------------------------
 
@@ -127,13 +219,19 @@ def _pairwise_intersection_area(corners_a: jnp.ndarray, corners_b: jnp.ndarray) 
 
     # --- containment candidates (4 + 4) ---
     def _inside(points, corners):
-        # point-in-convex-CCW-quad via cross products against every edge
+        # point-in-convex-CCW-quad via signed distance to every edge. The
+        # tolerance is on the *distance* (cross / |edge|), not the raw cross
+        # product, so it is scale-invariant — with f32 coords a raw-cross
+        # epsilon of 1e-8 is below machine precision and rejects corners that
+        # lie exactly on an edge (identical boxes then lose a corner and
+        # self-IoU collapses to 1/3).
         e1 = corners                            # (4,2)
         e2 = jnp.roll(corners, -1, axis=0)
         d = e2 - e1                             # (4,2)
         v = points[:, None, :] - e1[None, :, :]  # (P,4,2)
         cross = d[None, :, 0] * v[..., 1] - d[None, :, 1] * v[..., 0]
-        return jnp.all(cross >= -_EPS, axis=-1)
+        elen = jnp.sqrt(d[:, 0] ** 2 + d[:, 1] ** 2)[None, :]
+        return jnp.all(cross >= -1e-4 * (elen + _EPS), axis=-1)
 
     # ensure CCW ordering (box_corners emits CCW for theta conventions, but make
     # it robust to reflected inputs by flipping when signed area is negative)

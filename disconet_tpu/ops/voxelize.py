@@ -29,12 +29,18 @@ def voxelize_occupy_np(
     voxel_size: Sequence[float],
     extents: Sequence[Tuple[float, float]],
 ) -> np.ndarray:
-    """Numpy oracle: (N, 3) points -> (H, W, Z) uint8/float32 binary occupancy."""
-    points = np.asarray(points, dtype=np.float64)
-    lo = np.array([e[0] for e in extents])
-    hi = np.array([e[1] for e in extents])
-    vs = np.asarray(voxel_size, dtype=np.float64)
-    dims = np.ceil((hi - lo) / vs - 1e-9).astype(np.int64)
+    """Numpy oracle: (N, 3) points -> (H, W, Z) uint8/float32 binary occupancy.
+
+    Index arithmetic is float32 on purpose: LiDAR points are float32 and the
+    on-device implementations (XLA scatter, Pallas kernel) compute in float32,
+    so the oracle must round cell boundaries identically to be a bit-for-bit
+    contract.
+    """
+    points = np.asarray(points, dtype=np.float32)
+    lo = np.array([e[0] for e in extents], dtype=np.float32)
+    hi = np.array([e[1] for e in extents], dtype=np.float32)
+    vs = np.asarray(voxel_size, dtype=np.float32)
+    dims = np.ceil((hi.astype(np.float64) - lo) / vs - 1e-9).astype(np.int64)
     grid = np.zeros(tuple(dims), dtype=np.float32)
     if points.size == 0:
         return grid

@@ -1,0 +1,209 @@
+"""Detection train/eval module (SURVEY.md C20, reference utils/CoDetModule.py).
+
+The reference ``FaFModule`` is a stateful class whose ``step()`` runs
+forward/backward eagerly per batch. The TPU rebuild is a pair of pure, jitted
+functions closed over the model definition:
+
+  * ``train_step(state, batch, teacher_vars)`` — one fused XLA graph:
+    (optional) frozen-teacher forward, student forward, focal + masked
+    smooth-L1 (+ kd_weight * per-pixel feature MSE, SURVEY.md §4.3), Adam
+    update, BatchNorm running-stat update. Donated state, bf16 conv compute.
+  * ``eval_step`` — forward + losses, no update (validation loss).
+  * ``predict_step`` — forward -> per-class softmax scores -> on-device anchor
+    decode -> per-agent rotated NMS (SURVEY.md C8), fixed-size outputs.
+
+Loss masking invariants (SURVEY.md §7 "hard parts"): absent agents are removed
+from the classification loss, the regression mask, and the KD loss; the sender
+softmax inside fusion models is masked separately (models/base.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.training import train_state
+
+from disconet_tpu.config import Config
+from disconet_tpu.ops.boxes import decode_boxes, make_anchors
+from disconet_tpu.ops.losses import kd_feature_loss, softmax_focal_loss, weighted_smooth_l1
+from disconet_tpu.ops.nms import rotated_nms
+
+
+class DetTrainState(train_state.TrainState):
+    """TrainState + BatchNorm running statistics."""
+
+    batch_stats: Any = None
+
+
+def create_train_state(
+    model, config: Config, rng, sample_batch: Dict[str, np.ndarray], lr: float = 1e-3
+) -> DetTrainState:
+    """Initialize params/batch_stats from a sample batch and build Adam(lr).
+
+    Reference: Adam(1e-3), no schedule, no weight decay (SURVEY.md C22).
+    """
+    variables = model.init(
+        rng,
+        jnp.asarray(sample_batch["bev"]),
+        jnp.asarray(sample_batch["trans"]),
+        jnp.asarray(sample_batch["agent_mask"]),
+        train=False,
+    )
+    tx = optax.adam(lr)
+    return DetTrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=tx,
+    )
+
+
+def _losses(out, batch, config: Config, teacher_out=None):
+    """Shared loss computation for train/eval. All fp32."""
+    agent_mask = batch["agent_mask"].astype(jnp.float32)  # (B, A)
+    # broadcast agent mask over (B, A, H, W, Anch)
+    am = agent_mask[:, :, None, None, None]
+    cls_mask = jnp.broadcast_to(am, out["cls"].shape[:-1])
+    cls_loss = softmax_focal_loss(
+        out["cls"], batch["label_one_hot"], gamma=config.focal_gamma, mask=cls_mask
+    )
+    reg_mask = batch["reg_mask"].astype(jnp.float32) * am
+    reg_loss = weighted_smooth_l1(
+        out["reg"], batch["reg_target"], reg_mask[..., None], sigma=config.smooth_l1_sigma
+    )
+    loss = config.cls_weight * cls_loss + config.reg_weight * reg_loss
+    metrics = {"cls_loss": cls_loss, "reg_loss": reg_loss}
+    if teacher_out is not None:
+        kd = 0.0
+        for sf, tf in zip(out["kd_feats"], teacher_out["kd_feats"]):
+            kd = kd + kd_feature_loss(sf, jax.lax.stop_gradient(tf), mask=agent_mask)
+        kd = kd / len(out["kd_feats"])
+        metrics["kd_loss"] = kd
+        loss = loss + config.kd_weight * kd
+    metrics["loss"] = loss
+    return loss, metrics
+
+
+def make_train_step(
+    model,
+    config: Config,
+    teacher=None,
+    kd_flag: bool = False,
+) -> Callable:
+    """Build the jitted training step. ``teacher`` is a TeacherNet whose frozen
+    variables are passed per-call (never optimized; README.md:59)."""
+
+    def train_step(state: DetTrainState, batch, teacher_vars=None):
+        teacher_out = None
+        if kd_flag and teacher is not None:
+            teacher_out = teacher.apply(
+                teacher_vars, batch["bev_teacher"], None, batch["agent_mask"], train=False
+            )
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["bev"],
+                batch["trans"],
+                batch["agent_mask"],
+                train=True,
+                mutable=["batch_stats"],
+            )
+            loss, metrics = _losses(out, batch, config, teacher_out)
+            return loss, (metrics, mutated["batch_stats"])
+
+        (loss, (metrics, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=new_stats)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(model, config: Config, teacher=None, kd_flag: bool = False) -> Callable:
+    def eval_step(state: DetTrainState, batch, teacher_vars=None):
+        teacher_out = None
+        if kd_flag and teacher is not None:
+            teacher_out = teacher.apply(
+                teacher_vars, batch["bev_teacher"], None, batch["agent_mask"], train=False
+            )
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["bev"],
+            batch["trans"],
+            batch["agent_mask"],
+            train=False,
+        )
+        _, metrics = _losses(out, batch, config, teacher_out)
+        return metrics
+
+    return jax.jit(eval_step)
+
+
+def make_predict_step(model, config: Config) -> Callable:
+    """Build the jitted inference step: forward -> decode -> rotated NMS.
+
+    Returns fixed-size per-agent detections: boxes (B, A, K, 5), scores
+    (B, A, K), keep (B, A, K) bool. Host code filters by keep & agent_mask.
+    """
+    anchors = make_anchors(config).reshape(-1, 5)  # trace-time constant
+    K = config.nms_top_k
+
+    def predict(state: DetTrainState, batch):
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["bev"],
+            batch["trans"],
+            batch["agent_mask"],
+            train=False,
+        )
+        B, A = out["cls"].shape[:2]
+        n = anchors.shape[0]
+        scores = jax.nn.softmax(out["cls"].astype(jnp.float32), axis=-1)[..., 1]
+        scores = scores.reshape(B * A, n)
+        deltas = out["reg"].reshape(B * A, n, config.box_code_size)
+        boxes = decode_boxes(deltas, anchors[None])  # (B*A, n, 5)
+
+        nms = functools.partial(
+            rotated_nms,
+            iou_threshold=config.nms_iou_threshold,
+            score_threshold=config.score_threshold,
+            top_k=K,
+        )
+        b, s, keep = jax.vmap(nms)(boxes, scores)
+        return (
+            b.reshape(B, A, K, 5),
+            s.reshape(B, A, K),
+            keep.reshape(B, A, K) & batch["agent_mask"][:, :, None],
+        )
+
+    return jax.jit(predict)
+
+
+_DEVICE_KEYS = (
+    "bev",
+    "bev_teacher",
+    "label_one_hot",
+    "reg_target",
+    "reg_mask",
+    "trans",
+    "agent_mask",
+)
+
+
+def batch_to_device(batch: Dict[str, np.ndarray], sharding=None) -> Dict[str, jnp.ndarray]:
+    """Host batch dict -> device arrays (optionally with a NamedSharding)."""
+    out = {}
+    for k in _DEVICE_KEYS:
+        if k in batch:
+            out[k] = jax.device_put(jnp.asarray(batch[k]), sharding) if sharding else jnp.asarray(batch[k])
+    return out

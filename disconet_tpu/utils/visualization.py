@@ -1,0 +1,51 @@
+"""BEV visualization (SURVEY.md C28, reference --visualization path + img.png).
+
+Matplotlib, host-side: occupancy underlay, gt boxes green, detections red with
+score annotations — the same panel style as the reference qualitative figure
+(/root/reference/img.png a-c).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from disconet_tpu.config import Config
+from disconet_tpu.ops.boxes import box_corners_np
+
+
+def render_bev(cfg: Config, bev, gt_boxes=None, det_boxes=None, det_scores=None):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    (x_lo, x_hi), (y_lo, y_hi), _ = cfg.area_extents
+    occ = np.asarray(bev).max(axis=-1)  # (H, W)
+
+    fig, ax = plt.subplots(figsize=(6, 6))
+    # axis 0 = metric x, axis 1 = metric y; imshow wants (row=y) so transpose
+    ax.imshow(
+        occ.T, origin="lower", extent=(x_lo, x_hi, y_lo, y_hi), cmap="gray_r", alpha=0.8
+    )
+
+    def draw(boxes, color, scores=None):
+        boxes = np.asarray(boxes).reshape(-1, 5)
+        if len(boxes) == 0:
+            return
+        corners = box_corners_np(boxes)  # (N, 4, 2)
+        for i, c in enumerate(corners):
+            poly = np.vstack([c, c[:1]])
+            ax.plot(poly[:, 0], poly[:, 1], color=color, linewidth=1.2)
+            if scores is not None:
+                ax.text(c[0, 0], c[0, 1], f"{scores[i]:.2f}", color=color, fontsize=6)
+
+    if gt_boxes is not None:
+        draw(gt_boxes, "green")
+    if det_boxes is not None:
+        draw(det_boxes, "red", det_scores)
+    ax.set_xlim(x_lo, x_hi)
+    ax.set_ylim(y_lo, y_hi)
+    ax.set_xlabel("x [m]")
+    ax.set_ylabel("y [m]")
+    fig.tight_layout()
+    return fig

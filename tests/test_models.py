@@ -1,0 +1,124 @@
+"""Model zoo tests (SURVEY.md §5.1): shapes for every --com variant, padding
+leak-freedom of the sender softmax, KD feature taps, seg task heads."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from disconet_tpu.config import tiny_config
+from disconet_tpu.models import build_model
+from disconet_tpu.models.base import sender_softmax, masked_sender_reduce
+
+CFG = tiny_config(32)
+B, A = 1, 4
+H, W, Z = CFG.bev_shape
+
+
+def _inputs(rng_seed=0, agents_present=3):
+    rng = np.random.default_rng(rng_seed)
+    bev = (rng.random((B, A, H, W, Z)) < 0.02).astype(np.float32)
+    trans = np.tile(np.eye(4, dtype=np.float32), (B, A, A, 1, 1))
+    mask = np.zeros((B, A), bool)
+    mask[:, :agents_present] = True
+    bev[:, agents_present:] = 0.0
+    return jnp.asarray(bev), jnp.asarray(trans), jnp.asarray(mask)
+
+
+@pytest.mark.parametrize("com", ["", "disco", "sum", "mean", "max", "cat", "agent", "v2v", "when2com"])
+def test_forward_shapes(com):
+    bev, trans, mask = _inputs()
+    model = build_model(com, CFG)
+    variables = model.init(jax.random.PRNGKey(0), bev, trans, mask, train=False)
+    out = model.apply(variables, bev, trans, mask, train=False)
+    assert out["cls"].shape == (B, A, H, W, CFG.num_anchors, CFG.num_classes)
+    assert out["reg"].shape == (B, A, H, W, CFG.num_anchors, CFG.box_code_size)
+    assert np.all(np.isfinite(np.asarray(out["cls"], np.float32)))
+
+
+@pytest.mark.parametrize("com", ["disco", "mean", "agent"])
+def test_padding_does_not_leak(com):
+    """Garbage in absent-agent slots must not change present agents' outputs
+    (SURVEY.md §7 'hard parts': padding must not leak into the sender softmax)."""
+    bev, trans, mask = _inputs(agents_present=2)
+    model = build_model(com, CFG)
+    variables = model.init(jax.random.PRNGKey(0), bev, trans, mask, train=False)
+    out_clean = model.apply(variables, bev, trans, mask, train=False)
+
+    poisoned = np.asarray(bev).copy()
+    poisoned[:, 2:] = 1000.0  # garbage in padded slots
+    out_poisoned = model.apply(variables, jnp.asarray(poisoned), trans, mask, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_clean["cls"][:, :2], np.float32),
+        np.asarray(out_poisoned["cls"][:, :2], np.float32),
+        atol=1e-4,
+    )
+
+
+def test_sender_softmax_masking():
+    scores = jnp.asarray(np.random.default_rng(0).normal(size=(2, 4, 4, 8, 8)).astype(np.float32))
+    mask = jnp.asarray([[True, True, False, False], [True, True, True, False]])
+    w = sender_softmax(scores, mask)
+    w = np.asarray(w)
+    # absent senders get exactly zero weight
+    assert np.all(w[0, :, 2:] == 0)
+    assert np.all(w[1, :, 3:] == 0)
+    # weights over present senders sum to 1
+    np.testing.assert_allclose(w.sum(axis=2), 1.0, atol=1e-5)
+
+
+def test_masked_reduce():
+    rng = np.random.default_rng(1)
+    warped = jnp.asarray(rng.normal(size=(1, 2, 3, 4, 4, 2)).astype(np.float32))
+    mask = jnp.asarray([[True, True, False]])
+    s = np.asarray(masked_sender_reduce(warped, mask, "sum"))
+    np.testing.assert_allclose(s, np.asarray(warped)[:, :, :2].sum(axis=2), atol=1e-5)
+    m = np.asarray(masked_sender_reduce(warped, mask, "mean"))
+    np.testing.assert_allclose(m, np.asarray(warped)[:, :, :2].mean(axis=2), atol=1e-5)
+    mx = np.asarray(masked_sender_reduce(warped, mask, "max"))
+    np.testing.assert_allclose(mx, np.asarray(warped)[:, :, :2].max(axis=2), atol=1e-5)
+
+
+def test_kd_feature_taps():
+    bev, trans, mask = _inputs()
+    model = build_model("disco", CFG, kd_flag=True)
+    variables = model.init(jax.random.PRNGKey(0), bev, trans, mask, train=False)
+    out = model.apply(variables, bev, trans, mask, train=False)
+    feats = out["kd_feats"]
+    assert len(feats) == 5  # 4 decoder stages + head input
+    # coarse -> fine: spatial dims double each stage
+    hs = [f.shape[2] for f in feats[:-1]]
+    assert hs == sorted(hs)
+    assert feats[-1].shape[:2] == (B, A)
+
+
+def test_teacher_student_kd_shapes_match():
+    bev, trans, mask = _inputs()
+    student = build_model("disco", CFG, kd_flag=True)
+    teacher = build_model("teacher", CFG)
+    sv = student.init(jax.random.PRNGKey(0), bev, trans, mask, train=False)
+    tv = teacher.init(jax.random.PRNGKey(1), bev, None, mask, train=False)
+    so = student.apply(sv, bev, trans, mask, train=False)
+    to = teacher.apply(tv, bev, None, mask, train=False)
+    for sf, tf in zip(so["kd_feats"], to["kd_feats"]):
+        assert sf.shape == tf.shape
+
+
+@pytest.mark.parametrize("com", ["", "disco"])
+def test_seg_task(com):
+    bev, trans, mask = _inputs()
+    model = build_model(com, CFG, task="seg")
+    variables = model.init(jax.random.PRNGKey(0), bev, trans, mask, train=False)
+    out = model.apply(variables, bev, trans, mask, train=False)
+    assert out["seg"].shape == (B, A, H, W, CFG.num_seg_classes)
+
+
+def test_teacher_loads_fafnet_params():
+    """TeacherNet is architecture-identical to FaFNet: an upperbound-trained
+    FaFNet checkpoint must load into TeacherNet unchanged (SURVEY.md C14)."""
+    bev, trans, mask = _inputs()
+    faf = build_model("", CFG)
+    teacher = build_model("teacher", CFG)
+    fv = faf.init(jax.random.PRNGKey(0), bev, None, mask, train=False)
+    out = teacher.apply(fv, bev, None, mask, train=False)  # params fit directly
+    assert "kd_feats" in out

@@ -1,0 +1,162 @@
+"""Training module tests (SURVEY.md C20/§5.5): loss goes down per --com variant,
+KD wiring, predict step shapes, checkpoint .pth bridge round-trip, sharded
+train step on the virtual CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from disconet_tpu.config import tiny_config
+from disconet_tpu.data.targets import assign_targets
+from disconet_tpu.models import TeacherNet, build_model
+from disconet_tpu.training import (
+    batch_to_device,
+    create_train_state,
+    make_eval_step,
+    make_predict_step,
+    make_train_step,
+)
+
+CFG = tiny_config(32)
+B, A = 2, 2
+
+
+def _batch(seed=0):
+    rng = np.random.default_rng(seed)
+    H, W = CFG.map_dims
+    Z = CFG.grid_size[2]
+    NA, C, code = CFG.num_anchors, CFG.num_classes, CFG.box_code_size
+    gt = np.array([[1.0, 1.5, 2.0, 4.0, 0.4], [-2.0, -2.5, 1.8, 4.2, -0.8]])
+    tgt = assign_targets(gt, CFG)
+    batch = {
+        "bev": (rng.random((B, A, H, W, Z)) < 0.02).astype(np.float32),
+        "bev_teacher": (rng.random((B, A, H, W, Z)) < 0.04).astype(np.float32),
+        "trans": np.tile(np.eye(4, dtype=np.float32), (B, A, A, 1, 1)),
+        "agent_mask": np.ones((B, A), bool),
+        "label_one_hot": np.broadcast_to(tgt["label_one_hot"], (B, A, H, W, NA, C)).copy(),
+        "reg_target": np.broadcast_to(tgt["reg_target"], (B, A, H, W, NA, code)).copy(),
+        "reg_mask": np.broadcast_to(tgt["reg_loss_mask"].astype(np.float32), (B, A, H, W, NA)).copy(),
+    }
+    return batch
+
+
+@pytest.mark.parametrize("com", ["", "disco"])
+def test_loss_goes_down(com):
+    batch = _batch()
+    model = build_model(com, CFG)
+    state = create_train_state(model, CFG, jax.random.PRNGKey(0), batch, lr=1e-3)
+    step = make_train_step(model, CFG)
+    dev = batch_to_device(batch)
+    first = None
+    for i in range(8):
+        state, m = step(state, dev, None)
+        if first is None:
+            first = float(m["loss"])
+    assert float(m["loss"]) < first, (first, float(m["loss"]))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_kd_train_step():
+    batch = _batch()
+    model = build_model("disco", CFG, kd_flag=True)
+    teacher = TeacherNet(config=CFG)
+    state = create_train_state(model, CFG, jax.random.PRNGKey(0), batch)
+    tv = teacher.init(
+        jax.random.PRNGKey(1), jnp.asarray(batch["bev_teacher"]), None,
+        jnp.asarray(batch["agent_mask"]), train=False,
+    )
+    step = make_train_step(model, CFG, teacher=teacher, kd_flag=True)
+    dev = batch_to_device(batch)
+    state, m = step(state, dev, tv)
+    assert "kd_loss" in m and np.isfinite(float(m["kd_loss"]))
+    # kd term dominates at kd_weight=1e5 on random nets
+    assert float(m["loss"]) > float(m["cls_loss"]) + float(m["reg_loss"])
+    # teacher params must be untouched (frozen): train again, compare
+    tv2 = jax.tree_util.tree_map(lambda x: np.asarray(x), tv)
+    state, m = step(state, dev, tv)
+    for a, b in zip(jax.tree_util.tree_leaves(tv2), jax.tree_util.tree_leaves(tv)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+
+
+def test_eval_and_predict_steps():
+    batch = _batch()
+    model = build_model("disco", CFG)
+    state = create_train_state(model, CFG, jax.random.PRNGKey(0), batch)
+    ev = make_eval_step(model, CFG)
+    m = ev(state, batch_to_device(batch), None)
+    assert np.isfinite(float(m["loss"]))
+    pr = make_predict_step(model, CFG)
+    boxes, scores, keep = pr(state, batch_to_device(batch))
+    K = CFG.nms_top_k
+    assert boxes.shape == (B, A, K, 5)
+    assert scores.shape == (B, A, K)
+    assert keep.shape == (B, A, K)
+
+
+def test_pth_bridge_roundtrip(tmp_path):
+    from disconet_tpu.training.checkpoint import load_pth, save_pth
+
+    batch = _batch()
+    model = build_model("", CFG)
+    state = create_train_state(model, CFG, jax.random.PRNGKey(0), batch)
+    path = str(tmp_path / "epoch_7.pth")
+    save_pth(path, state, epoch=7, loss=1.25)
+
+    params2, stats2, epoch, loss = load_pth(path, state.params, state.batch_stats)
+    assert epoch == 7 and abs(loss - 1.25) < 1e-6
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params), jax.tree_util.tree_leaves(params2)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.batch_stats), jax.tree_util.tree_leaves(stats2)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_pth_has_reference_dict_keys(tmp_path):
+    """Reference checkpoint format: {'epoch','model_state_dict',
+    'optimizer_state_dict','loss'} (SURVEY.md §5.5)."""
+    import torch
+
+    from disconet_tpu.training.checkpoint import save_pth
+
+    batch = _batch()
+    model = build_model("", CFG)
+    state = create_train_state(model, CFG, jax.random.PRNGKey(0), batch)
+    path = str(tmp_path / "ck.pth")
+    save_pth(path, state, epoch=1)
+    ck = torch.load(path, map_location="cpu", weights_only=False)
+    assert set(ck.keys()) == {"epoch", "model_state_dict", "optimizer_state_dict", "loss"}
+    # torch-conventional tensor layouts: conv weights OIHW
+    any_conv = [v for k, v in ck["model_state_dict"].items() if v.ndim == 4][0]
+    assert any_conv.shape[-1] == any_conv.shape[-2] == 3  # kxk last in OIHW
+
+
+def test_sharded_train_step_matches_single_device():
+    """Data-parallel mesh training must be numerically equivalent (fp32 grads
+    all-reduced by XLA) to single-device training on the same batch."""
+    from disconet_tpu.parallel import make_mesh, replicate_tree, shard_batch
+
+    batch = _batch()
+    model = build_model("disco", CFG)
+    state1 = create_train_state(model, CFG, jax.random.PRNGKey(0), batch)
+    state2 = create_train_state(model, CFG, jax.random.PRNGKey(0), batch)
+    step = make_train_step(model, CFG)
+
+    _, m1 = step(state1, batch_to_device(batch), None)
+
+    mesh = make_mesh(n_data=2)
+    state2 = state2.replace(
+        params=replicate_tree(state2.params, mesh),
+        batch_stats=replicate_tree(state2.batch_stats, mesh),
+        opt_state=replicate_tree(state2.opt_state, mesh),
+    )
+    _, m2 = step(state2, shard_batch(batch, mesh), None)
+    # bf16 conv compute: GSPMD partitioning reassociates reductions, so allow
+    # bf16-scale noise; anything larger indicates a real sharding bug
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=5e-3)
+    np.testing.assert_allclose(
+        float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=2e-2
+    )

@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Evaluate collaborative detection (SURVEY.md C23, reference tools/det/test_codet.py).
+
+Flag surface preserved (README.md:68-76):
+
+    python test_codet.py --data <root> --com disco --resume <ckpt> \
+        --rsu 0 [--tracking] [--visualization 1] --logpath logs
+
+Prints mAP@0.5 / mAP@0.7 per agent and overall (same table layout as the
+reference so output-scraping scripts keep working). ``--tracking`` dumps
+per-agent per-scene detection files for tools/track/sort.py; ``--visualization``
+renders BEV pngs under ``{logpath}/vis``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+from disconet_tpu.utils.env import setup as _env_setup
+
+_env_setup()  # compile cache + honor JAX_PLATFORMS over sitecustomize override
+from collections import defaultdict
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import jax
+import numpy as np
+
+from disconet_tpu.config import Config, tiny_config
+from disconet_tpu.data import BatchIterator, V2XSimDet
+from disconet_tpu.evaluation import eval_map
+from disconet_tpu.models import build_model
+from disconet_tpu.training import batch_to_device, create_train_state, make_predict_step
+from disconet_tpu.training.checkpoint import CheckpointIO, load_pth
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Evaluate TPU-native collaborative detection")
+    p.add_argument("--data", type=str, required=True)
+    p.add_argument("--com", type=str, default="")
+    p.add_argument("--bound", type=str, default="")
+    p.add_argument("--resume", type=str, default="", help=".pth or orbax dir")
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--rsu", type=int, default=1)
+    p.add_argument("--tracking", action="store_true", help="dump MOT-style det files")
+    p.add_argument("--logpath", type=str, default="logs")
+    p.add_argument("--visualization", type=int, default=0)
+    p.add_argument("--layer", type=int, default=3)
+    p.add_argument("--warp_flag", type=int, default=1)
+    p.add_argument("--grid", type=int, default=256)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = Config(fusion_layer=args.layer) if args.grid == 256 else tiny_config(args.grid, fusion_layer=args.layer)
+
+    dataset = V2XSimDet(args.data, cfg, rsu=bool(args.rsu), bound=args.bound)
+    if len(dataset) == 0:
+        raise SystemExit(f"no frames found under {args.data}")
+    loader = BatchIterator(dataset, args.batch, shuffle=False, drop_last=False)
+
+    model = build_model(args.com or args.bound, cfg, kd_flag=False,
+                        layer=args.layer, warp_flag=bool(args.warp_flag))
+    sample = dataset[0]
+    from disconet_tpu.data.dataset import collate_det
+
+    state = create_train_state(model, cfg, jax.random.PRNGKey(args.seed), collate_det([sample]))
+    if args.resume:
+        if args.resume.endswith(".pth"):
+            params, stats, epoch, _ = load_pth(args.resume, state.params, state.batch_stats)
+            state = state.replace(params=params, batch_stats=stats)
+        else:
+            state, epoch = CheckpointIO(args.resume).restore(state)
+        print(f"loaded checkpoint from {args.resume} (epoch {epoch})")
+    else:
+        print("WARNING: evaluating a randomly initialized model (--resume not given)")
+
+    predict = make_predict_step(model, cfg)
+
+    # per-agent accumulators: agent slot -> list of (boxes, scores) / gt
+    dets = defaultdict(list)
+    gts = defaultdict(list)
+    track_rows = defaultdict(list)  # (agent, scene) -> rows
+
+    n_frames = 0
+    for batch in loader:
+        if batch["bev"].shape[0] != args.batch:  # static-shape jit: pad last batch
+            pad = args.batch - batch["bev"].shape[0]
+            for k, v in list(batch.items()):
+                if k == "gt_boxes":
+                    batch[k] = v + [[np.zeros((0, 5), np.float32)] * cfg.max_agents] * pad
+                else:
+                    batch[k] = np.concatenate([v, np.repeat(v[-1:] * 0, pad, axis=0)])
+        boxes, scores, keep = jax.device_get(predict(state, batch_to_device(batch)))
+        B = int(np.sum(np.any(batch["agent_mask"], axis=1)))
+        for b in range(B):
+            scene, frame = (int(x) for x in batch["scene_frame"][b])
+            for a in range(cfg.max_agents):
+                if not batch["agent_mask"][b, a]:
+                    continue
+                k = keep[b, a]
+                d_boxes, d_scores = boxes[b, a][k], scores[b, a][k]
+                dets[a].append((d_boxes, d_scores))
+                gts[a].append(batch["gt_boxes"][b][a])
+                if args.tracking:
+                    for bb, sc in zip(d_boxes, d_scores):
+                        track_rows[(a, scene)].append(
+                            f"{frame},{bb[0]:.3f},{bb[1]:.3f},{bb[2]:.3f},{bb[3]:.3f},{bb[4]:.4f},{sc:.4f}"
+                        )
+                if args.visualization:
+                    _render(args, cfg, batch, b, a, scene, frame, d_boxes, d_scores)
+            n_frames += 1
+
+    # mAP table: per agent + overall (reference output format, SURVEY.md C23)
+    print(f"\nEvaluated {n_frames} scene-frames, mode '{args.com or args.bound or 'lowerbound'}', rsu={args.rsu}")
+    overall = {}
+    header = f"{'agent':>8} | {'mAP@0.5':>8} | {'mAP@0.7':>8} | {'#gt':>6} | {'#det':>6}"
+    print(header)
+    print("-" * len(header))
+    all_dets, all_gts = [], []
+    for a in sorted(dets):
+        all_dets += dets[a]
+        all_gts += gts[a]
+        ap50, d50 = eval_map(dets[a], gts[a], iou_thr=0.5)
+        ap70, _ = eval_map(dets[a], gts[a], iou_thr=0.7)
+        print(f"{a:>8} | {ap50:8.4f} | {ap70:8.4f} | {d50['num_gts']:>6} | {d50['num_dets']:>6}")
+    ap50, d50 = eval_map(all_dets, all_gts, iou_thr=0.5)
+    ap70, _ = eval_map(all_dets, all_gts, iou_thr=0.7)
+    print("-" * len(header))
+    print(f"{'average':>8} | {ap50:8.4f} | {ap70:8.4f} | {d50['num_gts']:>6} | {d50['num_dets']:>6}")
+    overall["mAP@0.5"], overall["mAP@0.7"] = ap50, ap70
+
+    if args.tracking:
+        det_dir = os.path.join(args.logpath, "det_dumps")
+        os.makedirs(det_dir, exist_ok=True)
+        for (a, scene), rows in track_rows.items():
+            path = os.path.join(det_dir, f"det_agent{a}_scene{scene}.txt")
+            with open(path, "w") as f:
+                f.write("\n".join(rows) + "\n")
+        print(f"tracking dumps: {len(track_rows)} files under {det_dir}")
+    return overall
+
+
+def _render(args, cfg, batch, b, a, scene, frame, d_boxes, d_scores):
+    """BEV png: occupancy + gt (green) + detections (red) — SURVEY.md C28."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from disconet_tpu.utils.visualization import render_bev
+
+    out_dir = os.path.join(args.logpath, "vis")
+    os.makedirs(out_dir, exist_ok=True)
+    fig = render_bev(cfg, batch["bev"][b, a], batch["gt_boxes"][b][a], d_boxes, d_scores)
+    fig.savefig(os.path.join(out_dir, f"s{scene}_f{frame}_a{a}.png"), dpi=100)
+    plt.close(fig)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,190 @@
+#!/usr/bin/env python
+"""Train collaborative detection (SURVEY.md C22, reference tools/det/train_codet.py).
+
+Flag surface preserved from the reference (README.md:54-63):
+
+    python train_codet.py --data <root> --com disco --kd_flag 1 \
+        --resume_teacher <teacher ckpt> --rsu 1 --batch 4 --nepoch 100 \
+        --logpath logs --auto_resume_path logs
+
+Rebuild extras (documented, additive): ``--grid`` for small synthetic configs,
+``--seed``, ``--save_pth`` to control the torch-compat per-epoch export.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+from disconet_tpu.utils.env import setup as _env_setup
+
+_env_setup()  # compile cache + honor JAX_PLATFORMS over sitecustomize override
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import jax
+import numpy as np
+
+from disconet_tpu.config import Config, tiny_config
+from disconet_tpu.data import BatchIterator, V2XSimDet
+from disconet_tpu.models import TeacherNet, build_model
+from disconet_tpu.parallel import make_mesh, replicate_tree, shard_batch
+from disconet_tpu.training import (
+    CheckpointIO,
+    MetricLogger,
+    batch_to_device,
+    create_train_state,
+    make_train_step,
+)
+from disconet_tpu.training.checkpoint import load_pth, save_pth
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Train TPU-native collaborative detection")
+    # --- reference flags (SURVEY.md C22) ---
+    p.add_argument("--data", type=str, required=True, help="dataset root (agent{i}/ dirs)")
+    p.add_argument("--com", type=str, default="", help="''|when2com|who2com|v2v|disco|sum|mean|max|cat|agent")
+    p.add_argument("--bound", type=str, default="", help="lowerbound|upperbound (with --com '')")
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--nepoch", type=int, default=100)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--kd_flag", type=int, default=0)
+    p.add_argument("--kd_weight", type=float, default=100000.0)
+    p.add_argument("--layer", type=int, default=3, help="fusion layer index")
+    p.add_argument("--rsu", type=int, default=1)
+    p.add_argument("--resume", type=str, default="", help=".pth or orbax dir to resume student")
+    p.add_argument("--resume_teacher", type=str, default="", help="teacher checkpoint (--kd_flag 1)")
+    p.add_argument("--auto_resume_path", type=str, default="", help="scan for latest epoch checkpoint")
+    p.add_argument("--logpath", type=str, default="logs")
+    p.add_argument("--log", action="store_true", help="enable file/TensorBoard logging")
+    p.add_argument("--nworker", type=int, default=2, help="(prefetch depth; kept for CLI compat)")
+    p.add_argument("--visualization", type=int, default=0)
+    p.add_argument("--warp_flag", type=int, default=1, help="when2com: warp values")
+    # --- rebuild extras ---
+    p.add_argument("--grid", type=int, default=256, help="BEV grid cells (256 = reference)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--save_pth", type=int, default=1, help="also export epoch_N.pth (compat)")
+    p.add_argument("--log_every", type=int, default=10)
+    return p.parse_args(argv)
+
+
+def make_config(args) -> Config:
+    if args.grid == 256:
+        cfg = Config(kd_weight=args.kd_weight, fusion_layer=args.layer)
+    else:
+        cfg = tiny_config(args.grid, kd_weight=args.kd_weight, fusion_layer=args.layer)
+    return cfg
+
+
+def mode_name(args) -> str:
+    return (args.com or args.bound or "lowerbound") + ("_kd" if args.kd_flag else "")
+
+
+def load_student_ckpt(args, state, ckpt_io):
+    """Resume priority: --resume (.pth/orbax) > --auto_resume_path > fresh."""
+    start_epoch = 0
+    if args.resume:
+        if args.resume.endswith(".pth"):
+            params, stats, epoch, _ = load_pth(args.resume, state.params, state.batch_stats)
+            state = state.replace(params=params, batch_stats=stats)
+            start_epoch = epoch
+        else:
+            state, epoch = CheckpointIO(args.resume).restore(state)
+            start_epoch = epoch or 0
+    elif args.auto_resume_path:
+        auto_dir = os.path.join(args.auto_resume_path, mode_name(args), "ckpt")
+        if os.path.isdir(auto_dir):
+            state, epoch = CheckpointIO(auto_dir).restore(state)
+            if epoch is not None:
+                start_epoch = epoch
+                print(f"auto-resumed from epoch {epoch} at {auto_dir}")
+    return state, start_epoch
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = make_config(args)
+    rng = jax.random.PRNGKey(args.seed)
+
+    dataset = V2XSimDet(args.data, cfg, rsu=bool(args.rsu), bound=args.bound)
+    if len(dataset) == 0:
+        raise SystemExit(f"no frames found under {args.data}")
+    loader = BatchIterator(dataset, args.batch, shuffle=True, seed=args.seed)
+    print(f"dataset: {len(dataset)} scene-frames, {len(loader)} batches/epoch")
+
+    model = build_model(args.com or args.bound, cfg, kd_flag=bool(args.kd_flag),
+                        layer=args.layer, warp_flag=bool(args.warp_flag))
+    sample = next(iter(BatchIterator(dataset, args.batch, shuffle=False)))
+    state = create_train_state(model, cfg, rng, sample, lr=args.lr)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    print(f"model '{mode_name(args)}': {n_params/1e6:.2f}M params")
+
+    teacher = teacher_vars = None
+    if args.kd_flag:
+        teacher = TeacherNet(config=cfg)
+        t_rng = jax.random.PRNGKey(args.seed + 1)
+        tv = teacher.init(t_rng, sample["bev_teacher"], None, sample["agent_mask"], train=False)
+        if args.resume_teacher:
+            if args.resume_teacher.endswith(".pth"):
+                tp, ts, _, _ = load_pth(args.resume_teacher, tv["params"], tv.get("batch_stats", {}))
+            else:
+                tmp_state = create_train_state(teacher, cfg, t_rng,
+                    {**sample, "bev": sample["bev_teacher"]}, lr=args.lr)
+                tmp_state, _ = CheckpointIO(args.resume_teacher).restore(tmp_state)
+                tp, ts = tmp_state.params, tmp_state.batch_stats
+            teacher_vars = {"params": tp, "batch_stats": ts}
+            print(f"loaded frozen teacher from {args.resume_teacher}")
+        else:
+            print("WARNING: --kd_flag 1 without --resume_teacher: distilling against a random teacher")
+            teacher_vars = tv
+
+    logdir = os.path.join(args.logpath, mode_name(args))
+    os.makedirs(logdir, exist_ok=True)
+    ckpt_io = CheckpointIO(os.path.join(logdir, "ckpt"))
+    state, start_epoch = load_student_ckpt(args, state, ckpt_io)
+    logger = MetricLogger(logdir, log=args.log)
+
+    mesh = make_mesh()
+    multi = mesh.devices.size > 1
+    if multi:
+        state = state.replace(
+            params=replicate_tree(state.params, mesh),
+            batch_stats=replicate_tree(state.batch_stats, mesh),
+            opt_state=replicate_tree(state.opt_state, mesh),
+        )
+        if teacher_vars is not None:
+            teacher_vars = replicate_tree(teacher_vars, mesh)
+        print(f"mesh: {dict(mesh.shape)} over {mesh.devices.size} devices")
+
+    train_step = make_train_step(model, cfg, teacher=teacher, kd_flag=bool(args.kd_flag))
+
+    step = 0
+    for epoch in range(start_epoch + 1, args.nepoch + 1):
+        t_ep = time.time()
+        last = {}
+        for batch in loader:
+            dev_batch = shard_batch(batch, mesh) if multi else batch_to_device(batch)
+            state, metrics = train_step(state, dev_batch, teacher_vars)
+            step += 1
+            if step % args.log_every == 0:
+                last = {k: float(v) for k, v in metrics.items()}
+                logger.write(step, last, prefix=f"epoch {epoch}")
+        if not last:
+            last = {k: float(v) for k, v in metrics.items()}
+        dt = time.time() - t_ep
+        sps = len(loader) * args.batch / dt
+        logger.write(step, {**last, "scenes_per_sec": sps}, prefix=f"epoch {epoch} done")
+        ckpt_io.save(epoch, jax.device_get(state))
+        if args.save_pth:
+            save_pth(os.path.join(logdir, f"epoch_{epoch}.pth"), jax.device_get(state),
+                     epoch, loss=last.get("loss", 0.0))
+    logger.close()
+    print(f"training complete: {args.nepoch} epochs, checkpoints in {logdir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Create segmentation training data (SURVEY.md C5, reference
+tools/seg/create_data_seg.py). The synthetic generator emits seg_label
+alongside the detection targets, so this shares the det generator.
+
+Two modes:
+
+  * ``--mode synthetic`` (default here): generate procedural V2X scenes with
+    the exact per-agent npy-dict schema (data/schema.py) — the offline-capable
+    path this environment uses for all development (SURVEY.md §0: no V2X-Sim
+    download possible).
+  * ``--mode nuscenes``: walk a V2X-Sim 2.0 release in nuScenes format and dump
+    the same schema (reference behavior). Requires ``nuscenes-devkit``, which
+    is not installed in this image — the code path is gated with a clear error
+    so the CLI surface still matches the reference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+from disconet_tpu.utils.env import setup as _env_setup
+
+_env_setup()  # compile cache + honor JAX_PLATFORMS over sitecustomize override
+
+from disconet_tpu.config import Config, tiny_config
+from disconet_tpu.data import generate_dataset
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Create per-agent segmentation npy data")
+    p.add_argument("--root", type=str, default="", help="V2X-Sim release root (nuscenes mode)")
+    p.add_argument("--data", "--savepath", dest="savepath", type=str, required=True,
+                   help="output dataset root (agent{i}/ dirs)")
+    p.add_argument("--split", type=str, default="train", choices=["train", "val", "test"])
+    p.add_argument("--mode", type=str, default="synthetic", choices=["synthetic", "nuscenes"])
+    p.add_argument("--scenes", type=int, default=8, help="synthetic: number of scenes")
+    p.add_argument("--frames", type=int, default=10, help="synthetic: frames per scene")
+    p.add_argument("--seed", type=int, default=None, help="synthetic: rng seed (default: by split)")
+    p.add_argument("--grid", type=int, default=256)
+    args = p.parse_args(argv)
+
+    if args.mode == "nuscenes":
+        try:
+            import nuscenes  # noqa: F401
+        except ImportError:
+            raise SystemExit(
+                "nuscenes-devkit is not installed in this environment; the V2X-Sim "
+                "walker needs it (SURVEY.md C4). Use --mode synthetic, or install "
+                "nuscenes-devkit and re-run."
+            )
+        raise SystemExit("nuscenes mode: V2X-Sim release not available offline (SURVEY.md §0)")
+
+    cfg = Config(split=args.split) if args.grid == 256 else tiny_config(args.grid, split=args.split)
+    seed = args.seed if args.seed is not None else {"train": 0, "val": 10_000, "test": 20_000}[args.split]
+    out = os.path.join(args.savepath, args.split)
+    n_files, n_frames = generate_dataset(
+        out, cfg, num_scenes=args.scenes, frames_per_scene=args.frames, seed=seed
+    )
+    print(f"wrote {n_files} agent-frames ({n_frames} scene-frames) under {out}")
+
+
+if __name__ == "__main__":
+    main()

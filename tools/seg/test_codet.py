@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Evaluate BEV segmentation: per-class IoU + mIoU (SURVEY.md C21/C24)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+from disconet_tpu.utils.env import setup as _env_setup
+
+_env_setup()  # compile cache + honor JAX_PLATFORMS over sitecustomize override
+
+import jax
+import numpy as np
+
+from disconet_tpu.config import Config, tiny_config
+from disconet_tpu.data import BatchIterator, V2XSimSeg
+from disconet_tpu.models import build_model
+from disconet_tpu.training import CheckpointIO, batch_to_device
+from disconet_tpu.training.seg_module import (
+    create_seg_train_state,
+    iou_per_class,
+    make_seg_predict_step,
+)
+
+CLASS_NAMES = ["background", "vehicle", "road", "terrain", "sidewalk", "building", "pedestrian", "vegetation"]
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Evaluate TPU-native BEV segmentation")
+    p.add_argument("--data", required=True)
+    p.add_argument("--com", type=str, default="")
+    p.add_argument("--bound", type=str, default="")
+    p.add_argument("--resume", type=str, default="")
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--rsu", type=int, default=1)
+    p.add_argument("--layer", type=int, default=3)
+    p.add_argument("--grid", type=int, default=256)
+    args = p.parse_args(argv)
+
+    cfg = Config(fusion_layer=args.layer) if args.grid == 256 else tiny_config(args.grid, fusion_layer=args.layer)
+    dataset = V2XSimSeg(args.data, cfg, rsu=bool(args.rsu), bound=args.bound)
+    if len(dataset) == 0:
+        raise SystemExit(f"no frames under {args.data}")
+    loader = BatchIterator(dataset, args.batch, shuffle=False, drop_last=False)
+
+    model = build_model(args.com or args.bound, cfg, layer=args.layer, task="seg")
+    from disconet_tpu.data.dataset import collate_det
+
+    state = create_seg_train_state(model, cfg, jax.random.PRNGKey(0), collate_det([dataset[0]]))
+    if args.resume:
+        state, e = CheckpointIO(args.resume).restore(state)
+        print(f"loaded epoch {e} from {args.resume}")
+    else:
+        print("WARNING: evaluating a randomly initialized model")
+
+    predict = make_seg_predict_step(model, cfg)
+    preds, labels, masks = [], [], []
+    for batch in loader:
+        if batch["bev"].shape[0] != args.batch:
+            continue  # drop ragged tail (tiny eval sets should use batch=1)
+        pr = np.asarray(jax.device_get(predict(state, {**batch_to_device(batch),
+                        "seg_label": jax.numpy.asarray(batch["seg_label"])})))
+        m = batch["agent_mask"][:, :, None, None]
+        preds.append(pr)
+        labels.append(batch["seg_label"])
+        masks.append(np.broadcast_to(m, pr.shape))
+
+    res = iou_per_class(np.concatenate(preds), np.concatenate(labels),
+                        cfg.num_seg_classes, mask=np.concatenate(masks))
+    print(f"\n{'class':>12} | IoU")
+    print("-" * 22)
+    for c, v in res["iou"].items():
+        name = CLASS_NAMES[c] if c < len(CLASS_NAMES) else str(c)
+        print(f"{name:>12} | {v:.4f}" if v == v else f"{name:>12} |    n/a")
+    print("-" * 22)
+    print(f"{'mIoU':>12} | {res['miou']:.4f}")
+    return res
+
+
+if __name__ == "__main__":
+    main()

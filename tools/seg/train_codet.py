@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Train BEV semantic segmentation (SURVEY.md C24; README.md:42-50: the same
+train/test commands run inside tools/seg). Shares the det CLI flag surface."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+from disconet_tpu.utils.env import setup as _env_setup
+
+_env_setup()  # compile cache + honor JAX_PLATFORMS over sitecustomize override
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import jax
+
+from disconet_tpu.config import Config, tiny_config
+from disconet_tpu.data import BatchIterator, V2XSimSeg
+from disconet_tpu.models import build_model
+from disconet_tpu.training import CheckpointIO, MetricLogger
+from disconet_tpu.training.seg_module import create_seg_train_state, make_seg_train_step
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Train TPU-native collaborative BEV segmentation")
+    p.add_argument("--data", type=str, required=True)
+    p.add_argument("--com", type=str, default="")
+    p.add_argument("--bound", type=str, default="")
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--nepoch", type=int, default=100)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--layer", type=int, default=3)
+    p.add_argument("--rsu", type=int, default=1)
+    p.add_argument("--resume", type=str, default="")
+    p.add_argument("--auto_resume_path", type=str, default="")
+    p.add_argument("--logpath", type=str, default="logs_seg")
+    p.add_argument("--log", action="store_true")
+    p.add_argument("--nworker", type=int, default=2)
+    p.add_argument("--grid", type=int, default=256)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log_every", type=int, default=10)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = Config(fusion_layer=args.layer) if args.grid == 256 else tiny_config(args.grid, fusion_layer=args.layer)
+
+    dataset = V2XSimSeg(args.data, cfg, rsu=bool(args.rsu), bound=args.bound)
+    if len(dataset) == 0:
+        raise SystemExit(f"no frames under {args.data}")
+    loader = BatchIterator(dataset, args.batch, shuffle=True, seed=args.seed)
+    print(f"dataset: {len(dataset)} scene-frames, {len(loader)} batches/epoch")
+
+    model = build_model(args.com or args.bound, cfg, layer=args.layer, task="seg")
+    sample = next(iter(BatchIterator(dataset, args.batch, shuffle=False)))
+    state = create_seg_train_state(model, cfg, jax.random.PRNGKey(args.seed), sample, lr=args.lr)
+
+    mode = (args.com or args.bound or "lowerbound") + "_seg"
+    logdir = os.path.join(args.logpath, mode)
+    ckpt_io = CheckpointIO(os.path.join(logdir, "ckpt"))
+    start_epoch = 0
+    if args.resume:
+        state, e = CheckpointIO(args.resume).restore(state)
+        start_epoch = e or 0
+    elif args.auto_resume_path:
+        auto = os.path.join(args.auto_resume_path, mode, "ckpt")
+        if os.path.isdir(auto):
+            state, e = CheckpointIO(auto).restore(state)
+            start_epoch = e or 0
+
+    logger = MetricLogger(logdir, log=args.log)
+    train_step = make_seg_train_step(model, cfg)
+    from disconet_tpu.training import batch_to_device
+
+    step = 0
+    for epoch in range(start_epoch + 1, args.nepoch + 1):
+        t0 = time.time()
+        for batch in loader:
+            dev = batch_to_device(batch)
+            dev["seg_label"] = jax.numpy.asarray(batch["seg_label"])
+            state, metrics = train_step(state, dev)
+            step += 1
+            if step % args.log_every == 0:
+                logger.write(step, {k: float(v) for k, v in metrics.items()}, prefix=f"epoch {epoch}")
+        logger.write(step, {**{k: float(v) for k, v in metrics.items()},
+                            "scenes_per_sec": len(loader) * args.batch / (time.time() - t0)},
+                     prefix=f"epoch {epoch} done")
+        ckpt_io.save(epoch, jax.device_get(state))
+    logger.close()
+    print(f"seg training complete, checkpoints in {logdir}")
+
+
+if __name__ == "__main__":
+    main()
