@@ -69,6 +69,9 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save_pth", type=int, default=1, help="also export epoch_N.pth (compat)")
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--profile", type=int, default=0,
+                   help="trace N steady-state steps to {logpath}/profile (SURVEY.md 5.2)")
+    p.add_argument("--debug_nans", type=int, default=0, help="jax_debug_nans CI smoke mode")
     return p.parse_args(argv)
 
 
@@ -107,6 +110,10 @@ def load_student_ckpt(args, state, ckpt_io):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.debug_nans:
+        from disconet_tpu.utils.profiling import enable_nan_checks
+
+        enable_nan_checks()
     cfg = make_config(args)
     rng = jax.random.PRNGKey(args.seed)
 
@@ -163,13 +170,24 @@ def main(argv=None):
     train_step = make_train_step(model, cfg, teacher=teacher, kd_flag=bool(args.kd_flag))
 
     step = 0
+    profiler_span = None
     for epoch in range(start_epoch + 1, args.nepoch + 1):
         t_ep = time.time()
         last = {}
         for batch in loader:
+            if args.profile and step == 2:  # past compile: steady state
+                from disconet_tpu.utils.profiling import trace
+
+                profiler_span = trace(os.path.join(logdir, "profile"))
+                profiler_span.__enter__()
             dev_batch = shard_batch(batch, mesh) if multi else batch_to_device(batch)
             state, metrics = train_step(state, dev_batch, teacher_vars)
             step += 1
+            if profiler_span is not None and step == 2 + args.profile:
+                jax.tree_util.tree_map(lambda x: x.block_until_ready(), metrics)
+                profiler_span.__exit__(None, None, None)
+                profiler_span = None
+                print(f"profiler trace written to {os.path.join(logdir, 'profile')}")
             if step % args.log_every == 0:
                 last = {k: float(v) for k, v in metrics.items()}
                 logger.write(step, last, prefix=f"epoch {epoch}")
