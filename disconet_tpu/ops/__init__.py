@@ -36,3 +36,4 @@ from disconet_tpu.ops.losses import (  # noqa: F401
     weighted_smooth_l1,
     kd_feature_loss,
 )
+from disconet_tpu.ops.late_fusion import late_fusion, transform_boxes, nms_np  # noqa: F401

@@ -84,10 +84,12 @@ def make_seg_predict_step(model, config: Config) -> Callable:
 
 def iou_per_class(pred: np.ndarray, label: np.ndarray, num_classes: int, mask=None) -> Dict:
     """Per-class IoU + mIoU over accumulated (pred, label) grids (SURVEY.md C21)."""
-    pred = np.asarray(pred).reshape(-1)
-    label = np.asarray(label).reshape(-1)
+    pred = np.asarray(pred)
     if mask is not None:
         keep = np.broadcast_to(np.asarray(mask), pred.shape).astype(bool).reshape(-1)
+    pred = pred.reshape(-1)
+    label = np.asarray(label).reshape(-1)
+    if mask is not None:
         pred, label = pred[keep], label[keep]
     ious = {}
     present = []

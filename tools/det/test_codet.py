@@ -47,6 +47,8 @@ def parse_args(argv=None):
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--rsu", type=int, default=1)
     p.add_argument("--tracking", action="store_true", help="dump MOT-style det files")
+    p.add_argument("--apply_late_fusion", type=int, default=0,
+                   help="late collaboration: merge neighbors' boxes into each agent (C8)")
     p.add_argument("--logpath", type=str, default="logs")
     p.add_argument("--visualization", type=int, default=0)
     p.add_argument("--layer", type=int, default=3)
@@ -101,11 +103,23 @@ def main(argv=None):
         B = int(np.sum(np.any(batch["agent_mask"], axis=1)))
         for b in range(B):
             scene, frame = (int(x) for x in batch["scene_frame"][b])
+            if args.apply_late_fusion:
+                from disconet_tpu.ops.late_fusion import late_fusion
+
+                raw = [
+                    (boxes[b, a][keep[b, a]], scores[b, a][keep[b, a]])
+                    for a in range(cfg.max_agents)
+                ]
             for a in range(cfg.max_agents):
                 if not batch["agent_mask"][b, a]:
                     continue
-                k = keep[b, a]
-                d_boxes, d_scores = boxes[b, a][k], scores[b, a][k]
+                if args.apply_late_fusion:
+                    d_boxes, d_scores = late_fusion(
+                        raw, batch["trans"][b], a, iou_threshold=cfg.nms_iou_threshold
+                    )
+                else:
+                    k = keep[b, a]
+                    d_boxes, d_scores = boxes[b, a][k], scores[b, a][k]
                 dets[a].append((d_boxes, d_scores))
                 gts[a].append(batch["gt_boxes"][b][a])
                 if args.tracking:
