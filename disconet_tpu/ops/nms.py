@@ -23,13 +23,14 @@ import jax.numpy as jnp
 from disconet_tpu.ops.rotated_iou import rotated_iou_matrix
 
 
-@functools.partial(jax.jit, static_argnames=("top_k",))
+@functools.partial(jax.jit, static_argnames=("top_k", "exact_top_k"))
 def rotated_nms(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
     iou_threshold: float,
     score_threshold: float = 0.0,
     top_k: int = 256,
+    exact_top_k: bool = False,
 ):
     """Greedy rotated NMS with static shapes.
 
@@ -39,6 +40,11 @@ def rotated_nms(
         iou_threshold: suppress boxes with IoU > threshold against a kept box.
         score_threshold: boxes below this are dropped up front.
         top_k: static number of candidates considered (and size of the output).
+        exact_top_k: use exact ``lax.top_k`` for candidate selection instead of
+            the TPU-native ``lax.approx_max_k`` (recall target 0.99 of the
+            K highest scores over ~400k anchors; the handful of detections
+            above the score threshold are far from the recall boundary, so
+            eval metrics are unaffected — flip this on for strict parity runs).
 
     Returns:
         (boxes_k, scores_k, keep): (top_k, 5), (top_k,), (top_k,) bool. Slots that
@@ -47,7 +53,10 @@ def rotated_nms(
     n = boxes.shape[0]
     k = min(top_k, n)
     scores = jnp.where(scores >= score_threshold, scores, -1.0)
-    top_scores, idx = jax.lax.top_k(scores, k)
+    if exact_top_k or n <= top_k:
+        top_scores, idx = jax.lax.top_k(scores, k)
+    else:
+        top_scores, idx = jax.lax.approx_max_k(scores, k, recall_target=0.99)
     top_boxes = boxes[idx]
     if k < top_k:  # pad to static top_k
         pad = top_k - k

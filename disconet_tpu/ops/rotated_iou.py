@@ -259,12 +259,11 @@ def _pairwise_intersection_area(corners_a: jnp.ndarray, corners_b: jnp.ndarray) 
     # variadic key-value sort instead of argsort + fancy gather: under the
     # vmap-over-pairs structure the gather lowers to serialized scatter/gather
     # on TPU (measured 1.26 s for 24x256x256 pairs); lax.sort is a bitonic
-    # network over lanes and keeps everything on the VPU (~40x faster)
-    _, sx, sy, sv = jax.lax.sort(
-        (ang, pts[:, 0], pts[:, 1], valid.astype(jnp.float32)), num_keys=1
-    )
+    # network over lanes and keeps everything on the VPU (~40x faster).
+    # validity rides in the key itself (inf angle <=> invalid slot).
+    sa, sx, sy = jax.lax.sort((ang, pts[:, 0], pts[:, 1]), num_keys=1)
     first_x, first_y = sx[0], sy[0]
-    vmask = sv > 0.5
+    vmask = jnp.isfinite(sa)
     px = jnp.where(vmask, sx, first_x)
     py = jnp.where(vmask, sy, first_y)
     nx = jnp.roll(px, -1)
