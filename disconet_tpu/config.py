@@ -62,6 +62,10 @@ class Config:
     pos_iou_threshold: float = 0.4
     neg_iou_threshold: float = 0.2
 
+    # Max positive anchors shipped per agent-frame in the sparse target
+    # encoding (host->device transfer optimization; ~60 positives/gt box).
+    max_pos_anchors: int = 2048
+
     # Eval / NMS.
     score_threshold: float = 0.3
     nms_iou_threshold: float = 0.01

@@ -46,11 +46,22 @@ class V2XSimDet:
         rsu: bool = True,
         bound: str = "",
         keep_gt_boxes: bool = True,
+        dense_targets: bool = True,
+        cache_items: int = 0,
     ):
+        """``dense_targets=False`` skips materializing the reference's dense
+        (H, W, A, code) target tensors — the train step consumes the sparse
+        encoding, and skipping the dense build makes items small enough to
+        cache. ``cache_items`` > 0 keeps that many assembled items in memory
+        (this box has one CPU core; re-decompressing frames every epoch would
+        starve the device)."""
         self.config = config
         self.rsu = rsu
         self.bound = bound
         self.keep_gt_boxes = keep_gt_boxes
+        self.dense_targets = dense_targets
+        self.cache_items = cache_items
+        self._cache: Dict[int, Dict[str, np.ndarray]] = {}
         if isinstance(root, (list, tuple)):
             agent_roots = list(root)
         else:
@@ -71,18 +82,34 @@ class V2XSimDet:
         return len(self.keys)
 
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        if i in self._cache:
+            return self._cache[i]
+        item = self._build_item(i)
+        if self.cache_items and len(self._cache) < self.cache_items:
+            self._cache[i] = item
+        return item
+
+    def _build_item(self, i: int) -> Dict[str, np.ndarray]:
         cfg = self.config
         MA = cfg.max_agents
         H, W = cfg.map_dims
         Z = cfg.grid_size[2]
         A, C, code = cfg.num_anchors, cfg.num_classes, cfg.box_code_size
 
-        bev = np.zeros((MA, H, W, Z), np.float32)
-        bev_teacher = np.zeros((MA, H, W, Z), np.float32)
-        label = np.zeros((MA, H, W, A, C), np.float32)
-        label[..., 0] = 1.0
-        reg_target = np.zeros((MA, H, W, A, code), np.float32)
-        reg_mask = np.zeros((MA, H, W, A), np.float32)
+        # binary tensors stay uint8/bool end-to-end: exact values, 4x less
+        # host RAM and host->device transfer (the TPU here is behind a tunnel);
+        # losses/models cast to f32 on device
+        bev = np.zeros((MA, H, W, Z), np.uint8)
+        bev_teacher = np.zeros((MA, H, W, Z), np.uint8)
+        P = cfg.max_pos_anchors
+        n_flat = H * W * A
+        pos_idx = np.full((MA, P), n_flat, np.int32)  # sentinel = out of range
+        pos_target = np.zeros((MA, P, code), np.float32)
+        if self.dense_targets:
+            label = np.zeros((MA, H, W, A, C), np.uint8)
+            label[..., 0] = 1
+            reg_target = np.zeros((MA, H, W, A, code), np.float32)
+            reg_mask = np.zeros((MA, H, W, A), bool)
         trans = np.tile(np.eye(4, dtype=np.float32), (MA, MA, 1, 1))
         agent_mask = np.zeros((MA,), bool)
         gt_boxes: List[np.ndarray] = [np.zeros((0, 5), np.float32)] * MA
@@ -90,19 +117,25 @@ class V2XSimDet:
         frames = self.index[self.keys[i]]
         for slot, path in frames.items():
             fr = schema.load_frame(path)
-            student = np.asarray(fr["padded_voxel_points"], np.float32)
+            student = np.asarray(fr["padded_voxel_points"])
             teacher = np.asarray(
-                fr.get("padded_voxel_points_teacher", fr["padded_voxel_points"]), np.float32
+                fr.get("padded_voxel_points_teacher", fr["padded_voxel_points"])
             )
             if student.ndim == 4:  # squeeze the temporal dim (schema.py)
                 student, teacher = student[0], teacher[0]
             if self.bound == "upperbound":
                 student = teacher  # early fusion: holistic input (SURVEY.md C15)
-            bev[slot] = student
-            bev_teacher[slot] = teacher
-            label[slot] = fr["label_one_hot"]
-            reg_target[slot] = fr["reg_target"]
-            reg_mask[slot] = np.asarray(fr["reg_loss_mask"], np.float32)
+            bev[slot] = student.astype(np.uint8)
+            bev_teacher[slot] = teacher.astype(np.uint8)
+            fr_mask = np.asarray(fr["reg_loss_mask"], bool)
+            fr_reg = np.asarray(fr["reg_target"], np.float32)
+            nz = np.nonzero(fr_mask.reshape(-1))[0][:P]
+            pos_idx[slot, : len(nz)] = nz
+            pos_target[slot, : len(nz)] = fr_reg.reshape(-1, code)[nz]
+            if self.dense_targets:
+                label[slot] = np.asarray(fr["label_one_hot"]).astype(np.uint8)
+                reg_target[slot] = fr_reg
+                reg_mask[slot] = fr_mask
             agent_mask[slot] = True
             if self.keep_gt_boxes and "gt_boxes" in fr:
                 gt_boxes[slot] = np.asarray(fr["gt_boxes"], np.float32).reshape(-1, 5)
@@ -113,18 +146,25 @@ class V2XSimDet:
             n = min(MA, tm.shape[0] - off)
             trans[slot, :n] = tm[off : off + n]
 
-        return {
+        # sparse positive-anchor targets are always present (the train step
+        # reconstructs dense masks on device, training/det_module._losses);
+        # dense reference tensors only when dense_targets=True (compat/tests)
+        out = {
             "bev": bev,
             "bev_teacher": bev_teacher,
-            "label_one_hot": label,
-            "reg_target": reg_target,
-            "reg_mask": reg_mask,
+            "reg_pos_idx": pos_idx,
+            "reg_pos_target": pos_target,
             "trans": trans,
             "agent_mask": agent_mask,
             "num_agent": np.int32(agent_mask.sum()),
             "scene_frame": np.asarray(self.keys[i], np.int32),
             "gt_boxes": gt_boxes,
         }
+        if self.dense_targets:
+            out["label_one_hot"] = label
+            out["reg_target"] = reg_target
+            out["reg_mask"] = reg_mask
+        return out
 
 
 class V2XSimSeg(V2XSimDet):
@@ -135,24 +175,24 @@ class V2XSimSeg(V2XSimDet):
         MA = cfg.max_agents
         H, W = cfg.map_dims
         Z = cfg.grid_size[2]
-        bev = np.zeros((MA, H, W, Z), np.float32)
-        bev_teacher = np.zeros((MA, H, W, Z), np.float32)
+        bev = np.zeros((MA, H, W, Z), np.uint8)
+        bev_teacher = np.zeros((MA, H, W, Z), np.uint8)
         seg = np.zeros((MA, H, W), np.int32)
         trans = np.tile(np.eye(4, dtype=np.float32), (MA, MA, 1, 1))
         agent_mask = np.zeros((MA,), bool)
 
         for slot, path in self.index[self.keys[i]].items():
             fr = schema.load_frame(path)
-            student = np.asarray(fr["padded_voxel_points"], np.float32)
+            student = np.asarray(fr["padded_voxel_points"])
             teacher = np.asarray(
-                fr.get("padded_voxel_points_teacher", fr["padded_voxel_points"]), np.float32
+                fr.get("padded_voxel_points_teacher", fr["padded_voxel_points"])
             )
             if student.ndim == 4:
                 student, teacher = student[0], teacher[0]
             if self.bound == "upperbound":
                 student = teacher
-            bev[slot] = student
-            bev_teacher[slot] = teacher
+            bev[slot] = student.astype(np.uint8)
+            bev_teacher[slot] = teacher.astype(np.uint8)
             seg[slot] = np.asarray(fr["seg_label"], np.int32)
             agent_mask[slot] = True
             tm = np.asarray(fr["trans_matrices"], np.float32)

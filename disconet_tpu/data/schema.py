@@ -17,7 +17,9 @@ padded_voxel_points_teacher  (1, H, W, Z) float32/bool      holistic (all-agent)
 label_one_hot                (H, W, A, num_classes) f32     per-anchor cls target
 reg_target                   (H, W, A, code) f32            per-anchor box deltas
 reg_loss_mask                (H, W, A) bool                 positive-anchor mask
-anchors_map                  (H, W, A, 6) f32               (cx, cy, w, l, sin, cos)
+anchors_map                  (H, W, A, 6) f32               (cx, cy, w, l, sin, cos);
+                                                            omitted by the synthetic
+                                                            generator (derivable)
 vis_maps                     (H, W) f32                     visibility / occupancy 2D
 gt_max_iou                   (G, 2) f32                     per-gt (best anchor IoU,
                                                             flat anchor idx)

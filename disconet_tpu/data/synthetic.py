@@ -238,7 +238,9 @@ def scene_to_frames(scene: Dict, config: Config, anchors: np.ndarray | None = No
                 "label_one_hot": tgt["label_one_hot"],
                 "reg_target": tgt["reg_target"],
                 "reg_loss_mask": tgt["reg_loss_mask"],
-                "anchors_map": tgt["anchors_map"],
+                # anchors_map omitted: it is a pure function of Config (9.4 MB
+                # dense per frame); real parsed data includes it and the loader
+                # tolerates both (schema.py)
                 "vis_maps": bev.max(axis=-1).astype(np.float32),
                 "gt_max_iou": tgt["gt_max_iou"],
                 "gt_boxes": boxes_i.astype(np.float32),

@@ -27,6 +27,7 @@ def softmax_focal_loss(
         mask: optional (...,) validity weights (e.g. padded-agent mask).
     """
     logits = logits.astype(jnp.float32)
+    one_hot = one_hot.astype(jnp.float32)
     log_p = jax.nn.log_softmax(logits, axis=-1)
     p = jnp.exp(log_p)
     focal = -one_hot * ((1.0 - p) ** gamma) * log_p  # (..., C)

@@ -48,10 +48,13 @@ def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict[str, jax.Array
     """Host batch -> device arrays with the scene axis sharded over 'data'."""
     bs = batch_sharding(mesh)
     rep = replicated(mesh)
+    sparse = "reg_pos_idx" in batch
     out = {}
     for k, v in batch.items():
         if isinstance(v, list):  # ragged host-only fields (gt_boxes)
             continue
+        if sparse and k in ("label_one_hot", "reg_target", "reg_mask"):
+            continue  # redundant dense targets (training/det_module.py)
         arr = np.asarray(v)
         sh = bs if arr.ndim >= 1 and arr.shape[0] % mesh.shape["data"] == 0 else rep
         out[k] = jax.device_put(arr, sh)

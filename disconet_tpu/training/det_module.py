@@ -65,18 +65,54 @@ def create_train_state(
 
 
 def _losses(out, batch, config: Config, teacher_out=None):
-    """Shared loss computation for train/eval. All fp32."""
+    """Shared loss computation for train/eval. All fp32.
+
+    Two target encodings (numerically equivalent):
+      * sparse (preferred, keys ``reg_pos_idx``/``reg_pos_target``): the host
+        ships only positive-anchor (flat index, delta) pairs (~50 KB/frame vs
+        ~10 MB dense over the device tunnel); the dense binary cls label and
+        the positive mask are reconstructed on device with one scatter, and
+        reg predictions are gathered at the positive indices.
+      * dense (``label_one_hot``/``reg_target``/``reg_mask``): reference
+        layout, kept for back-compat.
+    """
     agent_mask = batch["agent_mask"].astype(jnp.float32)  # (B, A)
     # broadcast agent mask over (B, A, H, W, Anch)
     am = agent_mask[:, :, None, None, None]
     cls_mask = jnp.broadcast_to(am, out["cls"].shape[:-1])
-    cls_loss = softmax_focal_loss(
-        out["cls"], batch["label_one_hot"], gamma=config.focal_gamma, mask=cls_mask
-    )
-    reg_mask = batch["reg_mask"].astype(jnp.float32) * am
-    reg_loss = weighted_smooth_l1(
-        out["reg"], batch["reg_target"], reg_mask[..., None], sigma=config.smooth_l1_sigma
-    )
+
+    if "reg_pos_idx" in batch:
+        B, A, H, W, NA, code = out["reg"].shape
+        n_flat = H * W * NA
+        idx = batch["reg_pos_idx"].astype(jnp.int32)  # (B, A, P), sentinel n_flat
+        valid = (idx < n_flat).astype(jnp.float32)
+
+        def scatter_pos(flat_idx):  # (P,) -> (n_flat,)
+            return jnp.zeros((n_flat,), jnp.float32).at[flat_idx].set(1.0, mode="drop")
+
+        pos = jax.vmap(jax.vmap(scatter_pos))(idx)  # (B, A, n_flat)
+        pos = pos.reshape(B, A, H, W, NA)
+        label_one_hot = jnp.stack([1.0 - pos, pos], axis=-1)
+        cls_loss = softmax_focal_loss(
+            out["cls"], label_one_hot, gamma=config.focal_gamma, mask=cls_mask
+        )
+        pred_flat = out["reg"].reshape(B, A, n_flat, code).astype(jnp.float32)
+        safe_idx = jnp.minimum(idx, n_flat - 1)
+        pred_pos = jnp.take_along_axis(pred_flat, safe_idx[..., None], axis=2)
+        reg_loss = weighted_smooth_l1(
+            pred_pos,
+            batch["reg_pos_target"],
+            (valid * agent_mask[:, :, None])[..., None],
+            sigma=config.smooth_l1_sigma,
+        )
+    else:
+        cls_loss = softmax_focal_loss(
+            out["cls"], batch["label_one_hot"], gamma=config.focal_gamma, mask=cls_mask
+        )
+        reg_mask = batch["reg_mask"].astype(jnp.float32) * am
+        reg_loss = weighted_smooth_l1(
+            out["reg"], batch["reg_target"], reg_mask[..., None], sigma=config.smooth_l1_sigma
+        )
     loss = config.cls_weight * cls_loss + config.reg_weight * reg_loss
     metrics = {"cls_loss": cls_loss, "reg_loss": reg_loss}
     if teacher_out is not None:
@@ -195,15 +231,21 @@ _DEVICE_KEYS = (
     "label_one_hot",
     "reg_target",
     "reg_mask",
+    "reg_pos_idx",
+    "reg_pos_target",
     "trans",
     "agent_mask",
 )
+# dense target tensors are redundant (and ~250 MB/batch over the device
+# tunnel) when the sparse encoding is present
+_DENSE_TARGET_KEYS = ("label_one_hot", "reg_target", "reg_mask")
 
 
 def batch_to_device(batch: Dict[str, np.ndarray], sharding=None) -> Dict[str, jnp.ndarray]:
     """Host batch dict -> device arrays (optionally with a NamedSharding)."""
+    sparse = "reg_pos_idx" in batch
     out = {}
     for k in _DEVICE_KEYS:
-        if k in batch:
+        if k in batch and not (sparse and k in _DENSE_TARGET_KEYS):
             out[k] = jax.device_put(jnp.asarray(batch[k]), sharding) if sharding else jnp.asarray(batch[k])
     return out

@@ -160,3 +160,44 @@ def test_sharded_train_step_matches_single_device():
     np.testing.assert_allclose(
         float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=2e-2
     )
+
+
+def test_sparse_dense_loss_equivalence():
+    """The sparse positive-anchor target encoding must give exactly the same
+    losses as the dense reference layout (training/det_module._losses)."""
+    from disconet_tpu.training.det_module import _losses
+
+    batch = _batch()
+    H, W = CFG.map_dims
+    NA, code = CFG.num_anchors, CFG.box_code_size
+    n_flat = H * W * NA
+    P = CFG.max_pos_anchors
+    # build the sparse encoding from the dense one (what the dataset does)
+    pos_idx = np.full((B, A, P), n_flat, np.int32)
+    pos_target = np.zeros((B, A, P, code), np.float32)
+    for b in range(B):
+        for a in range(A):
+            nz = np.nonzero(batch["reg_mask"][b, a].reshape(-1))[0][:P]
+            pos_idx[b, a, : len(nz)] = nz
+            pos_target[b, a, : len(nz)] = batch["reg_target"][b, a].reshape(-1, code)[nz]
+
+    rng = np.random.default_rng(7)
+    out = {
+        "cls": jnp.asarray(rng.normal(size=(B, A, H, W, NA, 2)).astype(np.float32)),
+        "reg": jnp.asarray(rng.normal(size=(B, A, H, W, NA, code)).astype(np.float32)),
+    }
+    dense_batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "gt_boxes"}
+    sparse_batch = dict(dense_batch)
+    for k in ("label_one_hot", "reg_target", "reg_mask"):
+        del sparse_batch[k]
+    sparse_batch["reg_pos_idx"] = jnp.asarray(pos_idx)
+    sparse_batch["reg_pos_target"] = jnp.asarray(pos_target)
+
+    _, m_dense = _losses(out, dense_batch, CFG)
+    _, m_sparse = _losses(out, sparse_batch, CFG)
+    np.testing.assert_allclose(
+        float(m_dense["cls_loss"]), float(m_sparse["cls_loss"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(m_dense["reg_loss"]), float(m_sparse["reg_loss"]), rtol=1e-6
+    )

@@ -98,7 +98,9 @@ def main(argv=None):
                 if k == "gt_boxes":
                     batch[k] = v + [[np.zeros((0, 5), np.float32)] * cfg.max_agents] * pad
                 else:
-                    batch[k] = np.concatenate([v, np.repeat(v[-1:] * 0, pad, axis=0)])
+                    batch[k] = np.concatenate(
+                        [v, np.repeat(np.zeros_like(v[-1:]), pad, axis=0)]
+                    )
         boxes, scores, keep = jax.device_get(predict(state, batch_to_device(batch)))
         B = int(np.sum(np.any(batch["agent_mask"], axis=1)))
         for b in range(B):

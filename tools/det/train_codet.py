@@ -24,8 +24,6 @@ from disconet_tpu.utils.env import setup as _env_setup
 _env_setup()  # compile cache + honor JAX_PLATFORMS over sitecustomize override
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
-
 import jax
 import numpy as np
 
@@ -72,6 +70,8 @@ def parse_args(argv=None):
     p.add_argument("--profile", type=int, default=0,
                    help="trace N steady-state steps to {logpath}/profile (SURVEY.md 5.2)")
     p.add_argument("--debug_nans", type=int, default=0, help="jax_debug_nans CI smoke mode")
+    p.add_argument("--ckpt_every", type=int, default=1, help="save checkpoints every N epochs")
+    p.add_argument("--cache_items", type=int, default=256, help="in-memory dataset item cache")
     return p.parse_args(argv)
 
 
@@ -117,7 +117,8 @@ def main(argv=None):
     cfg = make_config(args)
     rng = jax.random.PRNGKey(args.seed)
 
-    dataset = V2XSimDet(args.data, cfg, rsu=bool(args.rsu), bound=args.bound)
+    dataset = V2XSimDet(args.data, cfg, rsu=bool(args.rsu), bound=args.bound,
+                        dense_targets=False, cache_items=args.cache_items)
     if len(dataset) == 0:
         raise SystemExit(f"no frames found under {args.data}")
     loader = BatchIterator(dataset, args.batch, shuffle=True, seed=args.seed)
@@ -175,6 +176,8 @@ def main(argv=None):
         t_ep = time.time()
         last = {}
         for batch in loader:
+            if not args.kd_flag:
+                batch.pop("bev_teacher", None)  # skip the dead host->device copy
             if args.profile and step == 2:  # past compile: steady state
                 from disconet_tpu.utils.profiling import trace
 
@@ -196,10 +199,12 @@ def main(argv=None):
         dt = time.time() - t_ep
         sps = len(loader) * args.batch / dt
         logger.write(step, {**last, "scenes_per_sec": sps}, prefix=f"epoch {epoch} done")
-        ckpt_io.save(epoch, jax.device_get(state))
-        if args.save_pth:
-            save_pth(os.path.join(logdir, f"epoch_{epoch}.pth"), jax.device_get(state),
-                     epoch, loss=last.get("loss", 0.0))
+        if epoch % args.ckpt_every == 0 or epoch == args.nepoch:
+            host_state = jax.device_get(state)
+            ckpt_io.save(epoch, host_state)
+            if args.save_pth:
+                save_pth(os.path.join(logdir, f"epoch_{epoch}.pth"), host_state,
+                         epoch, loss=last.get("loss", 0.0))
     logger.close()
     print(f"training complete: {args.nepoch} epochs, checkpoints in {logdir}")
 
