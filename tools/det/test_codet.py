@@ -62,7 +62,8 @@ def main(argv=None):
     args = parse_args(argv)
     cfg = Config(fusion_layer=args.layer) if args.grid == 256 else tiny_config(args.grid, fusion_layer=args.layer)
 
-    dataset = V2XSimDet(args.data, cfg, rsu=bool(args.rsu), bound=args.bound)
+    dataset = V2XSimDet(args.data, cfg, rsu=bool(args.rsu), bound=args.bound,
+                        dense_targets=False, cache_items=64)
     if len(dataset) == 0:
         raise SystemExit(f"no frames found under {args.data}")
     loader = BatchIterator(dataset, args.batch, shuffle=False, drop_last=False)

@@ -51,7 +51,7 @@ def main(argv=None):
     args = parse_args(argv)
     cfg = Config(fusion_layer=args.layer) if args.grid == 256 else tiny_config(args.grid, fusion_layer=args.layer)
 
-    dataset = V2XSimSeg(args.data, cfg, rsu=bool(args.rsu), bound=args.bound)
+    dataset = V2XSimSeg(args.data, cfg, rsu=bool(args.rsu), bound=args.bound, cache_items=256)
     if len(dataset) == 0:
         raise SystemExit(f"no frames under {args.data}")
     loader = BatchIterator(dataset, args.batch, shuffle=True, seed=args.seed)
