@@ -1,0 +1,26 @@
+"""Visualization smoke test (SURVEY.md C28)."""
+
+import numpy as np
+
+from disconet_tpu.config import tiny_config
+from disconet_tpu.utils.visualization import render_bev
+
+
+def test_render_bev_writes_png(tmp_path):
+    cfg = tiny_config(32)
+    H, W, Z = cfg.bev_shape
+    rng = np.random.default_rng(0)
+    bev = (rng.random((H, W, Z)) < 0.02).astype(np.float32)
+    gt = np.array([[1.0, 2.0, 2.0, 4.0, 0.3]])
+    det = np.array([[1.2, 2.1, 2.0, 4.0, 0.25]])
+    fig = render_bev(cfg, bev, gt, det, np.array([0.9]))
+    out = tmp_path / "bev.png"
+    fig.savefig(str(out))
+    assert out.stat().st_size > 5000  # a real rendered image, not an empty file
+
+
+def test_render_bev_empty_boxes():
+    cfg = tiny_config(32)
+    bev = np.zeros(cfg.bev_shape, np.float32)
+    fig = render_bev(cfg, bev, np.zeros((0, 5)), np.zeros((0, 5)), np.zeros(0))
+    assert fig is not None
