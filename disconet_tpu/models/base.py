@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from disconet_tpu.config import Config
 from disconet_tpu.models.backbone import SegHead, make_heads, make_stpn
-from disconet_tpu.ops.warp import warp_features
+from disconet_tpu.ops.warp import warp_features, warp_features_matmul
 import jax
 
 
@@ -55,8 +55,12 @@ def warp_all_pairs(
 
     Returns:
         (B, A_recv, A_send, h, w, C), zeros outside each sender's field of view.
+
+    Uses the MXU (one-hot matmul) formulation — 3.7x faster than the gather
+    version on v5e at the 32x32 fusion grid (ops/warp.py); the gather version
+    remains the precision oracle for torch-parity tests.
     """
-    return jax.vmap(lambda f, t: warp_features(f, t, extent_xy))(feats, trans)
+    return jax.vmap(lambda f, t: warp_features_matmul(f, t, extent_xy))(feats, trans)
 
 
 def sender_softmax(scores: jnp.ndarray, agent_mask: jnp.ndarray) -> jnp.ndarray:
@@ -138,7 +142,10 @@ class IntermediateFusionModel(nn.Module):
         feats = self.stpn.encode(x, train)
 
         k = self.layer
-        fk = batch_to_agents(feats[k], B, A).astype(jnp.float32)
+        # keep the fusion-layer features in their compute dtype (bf16): the
+        # all-pairs warp is gather-bound and an f32 cast would double its HBM
+        # traffic; the bilinear tap weights/accumulation stay f32 (ops/warp.py)
+        fk = batch_to_agents(feats[k], B, A)
         extent = self.config.area_extents[:2]
         warped = warp_all_pairs(fk, trans, extent)  # (B, Ar, As, h, w, C)
         fused = self.fuse(fk, warped, agent_mask, train, trans=trans)

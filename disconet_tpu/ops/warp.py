@@ -70,15 +70,16 @@ def _bilinear_zeros(feat: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray) -> jnp.
         inb = (xi >= 0) & (xi < H) & (yi >= 0) & (yi < W)
         xc = jnp.clip(xi, 0, H - 1).astype(jnp.int32)
         yc = jnp.clip(yi, 0, W - 1).astype(jnp.int32)
-        vals = feat[xc, yc]  # gather: S + (C,)
-        return vals * (w * inb.astype(feat.dtype))[..., None]
+        vals = feat[xc, yc]  # gather in feat's own dtype (bf16 halves traffic)
+        # tap weights stay f32; the product promotes, accumulation is f32
+        return vals * (w.astype(jnp.float32) * inb.astype(jnp.float32))[..., None]
 
     x0i, y0i = x0.astype(jnp.int32), y0.astype(jnp.int32)
     out = tap(x0i, y0i, wx0 * wy0)
     out += tap(x0i + 1, y0i, wx1 * wy0)
     out += tap(x0i, y0i + 1, wx0 * wy1)
     out += tap(x0i + 1, y0i + 1, wx1 * wy1)
-    return out
+    return out.astype(feat.dtype)
 
 
 def grid_sample(
@@ -138,6 +139,77 @@ def pose_to_affine(trans: jnp.ndarray) -> jnp.ndarray:
         axis=-1,
     )
     return jnp.concatenate([inv, t_inv[..., None]], axis=-1)  # (..., 2, 3)
+
+
+def _sample_coords(trans: jnp.ndarray, extent_xy: tuple, H: int, W: int):
+    """Shared coordinate math: (A, A, 2, 3) affines -> sender pixel coords
+    (A, A, H, W) px, py for every receiver pixel."""
+    (x_lo, x_hi), (y_lo, y_hi) = extent_xy
+    cell_x = (x_hi - x_lo) / H
+    cell_y = (y_hi - y_lo) / W
+    mx = x_lo + (jnp.arange(H) + 0.5) * cell_x
+    my = y_lo + (jnp.arange(W) + 0.5) * cell_y
+    gx, gy = jnp.meshgrid(mx, my, indexing="ij")  # (H, W)
+    aff = pose_to_affine(trans)  # (A, A, 2, 3)
+    sx = aff[..., 0, 0, None, None] * gx + aff[..., 0, 1, None, None] * gy + aff[..., 0, 2, None, None]
+    sy = aff[..., 1, 0, None, None] * gx + aff[..., 1, 1, None, None] * gy + aff[..., 1, 2, None, None]
+    px = (sx - x_lo) / cell_x - 0.5
+    py = (sy - y_lo) / cell_y - 0.5
+    return px, py  # (A, A, H, W)
+
+
+def warp_features_matmul(
+    feats: jnp.ndarray,
+    trans: jnp.ndarray,
+    extent_xy: tuple,
+) -> jnp.ndarray:
+    """MXU formulation of :func:`warp_features` (same signature/output).
+
+    TPU gathers serialize; a bilinear warp of an (H, W, C) map is a sparse
+    (H*W, H*W) linear operator with 4 taps per row. Materializing it as a
+    dense one-hot matrix and contracting on the MXU is much faster at the
+    fusion layer's 32x32 grid (P=Q=1024): build W = sum_tap w_tap * onehot(q_tap)
+    in f32, then out[p, c] = sum_q W[p, q] feat[q, c]. Out-of-FoV taps get
+    weight zero, reproducing the gather version's zero padding exactly.
+
+    Accuracy: the matmul runs with f32 accumulation; W is cast to bf16 when
+    feats are bf16 (tap-weight quantization ~4e-3 relative — far below the
+    half-pixel level that matters for distillation; the f32 path is exact).
+    """
+    A, H, W, C = feats.shape
+    Q = H * W
+    px, py = _sample_coords(trans, extent_xy, H, W)  # (A, A, H, W)
+    px = px.reshape(A, A, Q)
+    py = py.reshape(A, A, Q)
+
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    wx1 = px - x0
+    wy1 = py - y0
+
+    def tap_mat(xi, yi, w):
+        inb = (xi >= 0) & (xi < H) & (yi >= 0) & (yi < W)
+        q = (jnp.clip(xi, 0, H - 1) * W + jnp.clip(yi, 0, W - 1)).astype(jnp.int32)
+        w = w * inb.astype(jnp.float32)
+        # (A, A, P, Q) one-hot scaled by tap weight
+        return w[..., None] * jax.nn.one_hot(q, Q, dtype=jnp.float32)
+
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    Wmat = (
+        tap_mat(x0i, y0i, (1 - wx1) * (1 - wy1))
+        + tap_mat(x0i + 1, y0i, wx1 * (1 - wy1))
+        + tap_mat(x0i, y0i + 1, (1 - wx1) * wy1)
+        + tap_mat(x0i + 1, y0i + 1, wx1 * wy1)
+    )  # (A, A, P, Q)
+    feat_flat = feats.reshape(A, Q, C)
+    out = jnp.einsum(
+        "ijpq,jqc->ijpc",
+        Wmat.astype(feats.dtype),
+        feat_flat,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(feats.dtype).reshape(A, A, H, W, C)
 
 
 def warp_features(

@@ -111,3 +111,39 @@ class TestWarpFeatures:
         comp_t = R @ aff[:, 2] + t
         np.testing.assert_allclose(comp_R, np.eye(2), atol=1e-5)
         np.testing.assert_allclose(comp_t, np.zeros(2), atol=1e-5)
+
+
+class TestMatmulWarp:
+    """warp_features_matmul (MXU formulation) vs the gather reference."""
+
+    def test_matches_gather_f32(self):
+        import numpy as np
+        from disconet_tpu.ops.warp import warp_features, warp_features_matmul
+
+        rng = np.random.default_rng(0)
+        A, H, C = 3, 16, 8
+        feats = jnp.asarray(rng.standard_normal((A, H, H, C)).astype(np.float32))
+        trans = np.tile(np.eye(4, dtype=np.float32), (A, A, 1, 1))
+        for i in range(A):
+            for j in range(A):
+                th = rng.uniform(-np.pi, np.pi)
+                c, s = np.cos(th), np.sin(th)
+                trans[i, j][:2, :2] = [[c, -s], [s, c]]
+                trans[i, j][:2, 3] = rng.uniform(-2, 2, 2)
+        ext = ((-4.0, 4.0), (-4.0, 4.0))
+        g = np.asarray(warp_features(feats, jnp.asarray(trans), ext))
+        m = np.asarray(warp_features_matmul(feats, jnp.asarray(trans), ext))
+        # CPU f32 matmul: near-exact agreement with the gather formulation
+        np.testing.assert_allclose(g, m, atol=5e-5)
+
+    def test_identity_pose_is_exact(self):
+        import numpy as np
+        from disconet_tpu.ops.warp import warp_features_matmul
+
+        rng = np.random.default_rng(1)
+        A, H, C = 2, 8, 4
+        feats = jnp.asarray(rng.standard_normal((A, H, H, C)).astype(np.float32))
+        trans = jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (A, A, 1, 1)))
+        out = np.asarray(warp_features_matmul(feats, trans, ((-1.0, 1.0), (-1.0, 1.0))))
+        for i in range(A):
+            np.testing.assert_allclose(out[i, i], np.asarray(feats[i]), atol=1e-6)
