@@ -6,12 +6,18 @@ at a time inside python loops. Here:
 
 * :func:`rotated_iou_np` — exact numpy oracle (Sutherland–Hodgman + shoelace),
   used for host-side mAP matching and as the parity reference in tests.
-* :func:`rotated_iou_matrix` — fully vectorized jnp (N, M) IoU matrix with static
-  shapes, suitable for on-device NMS and anchor-target assignment. Uses the
-  fixed-size candidate-point formulation (all edge-pair intersections + corners of
-  each box contained in the other, sorted by angle around the centroid, shoelace
-  with invalid slots collapsed onto the first vertex) so the whole computation is
-  elementwise/VPU work under jit — no data-dependent shapes.
+* :func:`rotated_iou_pairs_np` / :func:`rotated_iou_matrix_np` — vectorized
+  numpy (candidate-point formulation) for host paths: target assignment, mAP
+  matching, SORT association.
+* :func:`rotated_iou_matrix` / :func:`rotated_iou_pairs` — jnp, static shapes,
+  pair axis on VPU lanes. Intersection areas come from the Liang-Barsky
+  boundary-piece decomposition (:func:`_clip_pieces_area`): the closed
+  boundary of A.intersect.B is exactly the clipped pieces of A's edges inside B plus
+  B's edges inside A, so the shoelace area needs NO vertex sorting — purely
+  elementwise VPU work (the earlier angle-sort formulation's bitonic passes
+  were the on-device NMS hot spot: 107 -> 7 ms for 6.3M pairs on v5e).
+  Accuracy is bounded by the deliberate scale-aware boundary tolerance
+  (~1e-4 relative IoU; thresholds at 0.01/0.5/0.7 are unaffected).
 """
 
 from __future__ import annotations
@@ -187,89 +193,80 @@ def rotated_iou_matrix_np(boxes_a: np.ndarray, boxes_b: np.ndarray) -> np.ndarra
 # vectorized jnp version (static shapes, VPU-friendly)
 # ---------------------------------------------------------------------------
 
-def _pairwise_intersection_area(corners_a: jnp.ndarray, corners_b: jnp.ndarray) -> jnp.ndarray:
-    """Intersection area of two convex quads given corners (4, 2) each.
+def _clip_pieces_area(P: jnp.ndarray, C: jnp.ndarray, boundary_tol: jnp.ndarray) -> jnp.ndarray:
+    """Sum of shoelace contributions of P's edge pieces inside convex quad C.
 
-    Candidate points: 16 edge-pair intersections + 4 corners of A inside B + 4
-    corners of B inside A = 24 fixed slots with a validity mask; valid points are
-    sorted by angle around their centroid and the polygon area is the shoelace sum
-    with invalid slots collapsed onto the first sorted vertex (zero-area segments).
+    Lanes layout: P, C are (4, 2, N) CCW corner arrays. Each edge segment of P
+    is clipped against C's 4 half-planes (Liang-Barsky t-interval); a surviving
+    sub-segment [q1, q2] contributes 0.5*cross(q1, q2). The closed boundary of
+    A.intersect.B is exactly the union of A-edge pieces inside B and B-edge
+    pieces inside A (traversed CCW), so summing both gives the shoelace area
+    with NO vertex sorting — the angle-sort formulation's bitonic passes over
+    (24, N) candidate tensors were the NMS hot spot (~107 ms for 6.3M pairs).
+
+    ``boundary_tol`` (per-lane, scale-aware): pieces lying exactly ON C's
+    boundary are included when positive and excluded when negative — callers
+    pass +tol for the A-in-B pass and -tol for B-in-A so coincident edges
+    (identical boxes) are counted exactly once.
     """
-    # --- edge-pair intersections (16 candidates) ---
-    a1 = corners_a  # (4,2)
-    a2 = jnp.roll(corners_a, -1, axis=0)
-    b1 = corners_b
-    b2 = jnp.roll(corners_b, -1, axis=0)
+    e1 = P  # (4, 2, N)
+    e2 = jnp.roll(P, -1, axis=0)
+    d = e2 - e1  # segment directions
+    # C's inward half-planes: edge c1->c2 (CCW), inward normal = (-dy, dx)
+    c1 = C
+    cd = jnp.roll(C, -1, axis=0) - C
+    nx = -cd[:, 1]  # (4, N)
+    ny = cd[:, 0]
 
-    # broadcast all 4x4 edge pairs
-    p = a1[:, None, :]              # (4,1,2)
-    r = (a2 - a1)[:, None, :]       # (4,1,2)
-    q = b1[None, :, :]              # (1,4,2)
-    s = (b2 - b1)[None, :, :]       # (1,4,2)
+    # f_k(t) = num + t * den >= -tol  must hold for all 4 planes k
+    # num[e, k] = n_k . (e1_e - c1_k), den[e, k] = n_k . d_e
+    num = (
+        nx[None] * (e1[:, None, 0] - c1[None, :, 0])
+        + ny[None] * (e1[:, None, 1] - c1[None, :, 1])
+    )  # (4 edges, 4 planes, N)
+    den = nx[None] * d[:, None, 0] + ny[None] * d[:, None, 1]
 
-    rxs = r[..., 0] * s[..., 1] - r[..., 1] * s[..., 0]       # (4,4)
-    qmp = q - p
-    t_num = qmp[..., 0] * s[..., 1] - qmp[..., 1] * s[..., 0]
-    u_num = qmp[..., 0] * r[..., 1] - qmp[..., 1] * r[..., 0]
-    denom = jnp.where(jnp.abs(rxs) < _EPS, 1.0, rxs)
-    t = t_num / denom
-    u = u_num / denom
-    valid_int = (jnp.abs(rxs) >= _EPS) & (t >= 0.0) & (t <= 1.0) & (u >= 0.0) & (u <= 1.0)
-    inter_pts = p + t[..., None] * r                           # (4,4,2)
+    tol = boundary_tol[None, None] * jnp.sqrt(nx * nx + ny * ny)[None]  # scale by |n|
+    eps = 1e-9
+    is_par = jnp.abs(den) < eps
+    t_cross = -(num + tol) / jnp.where(is_par, 1.0, den)
+    # den > 0: f increasing -> t >= t_cross (lower bound); den < 0: t <= t_cross
+    lo_k = jnp.where(~is_par & (den > 0), t_cross, 0.0)
+    hi_k = jnp.where(~is_par & (den < 0), t_cross, 1.0)
+    t_lo = jnp.maximum(jnp.max(lo_k, axis=1), 0.0)  # (4, N)
+    t_hi = jnp.minimum(jnp.min(hi_k, axis=1), 1.0)
+    # parallel plane with the segment strictly outside kills the segment
+    par_ok = jnp.all(~is_par | (num >= -tol), axis=1)  # (4, N)
+    alive = (t_hi > t_lo) & par_ok
 
-    # --- containment candidates (4 + 4) ---
-    def _inside(points, corners):
-        # point-in-convex-CCW-quad via signed distance to every edge. The
-        # tolerance is on the *distance* (cross / |edge|), not the raw cross
-        # product, so it is scale-invariant — with f32 coords a raw-cross
-        # epsilon of 1e-8 is below machine precision and rejects corners that
-        # lie exactly on an edge (identical boxes then lose a corner and
-        # self-IoU collapses to 1/3).
-        e1 = corners                            # (4,2)
-        e2 = jnp.roll(corners, -1, axis=0)
-        d = e2 - e1                             # (4,2)
-        v = points[:, None, :] - e1[None, :, :]  # (P,4,2)
-        cross = d[None, :, 0] * v[..., 1] - d[None, :, 1] * v[..., 0]
-        elen = jnp.sqrt(d[:, 0] ** 2 + d[:, 1] ** 2)[None, :]
-        return jnp.all(cross >= -1e-4 * (elen + _EPS), axis=-1)
+    q1x = e1[:, 0] + t_lo * d[:, 0]
+    q1y = e1[:, 1] + t_lo * d[:, 1]
+    q2x = e1[:, 0] + t_hi * d[:, 0]
+    q2y = e1[:, 1] + t_hi * d[:, 1]
+    contrib = 0.5 * (q1x * q2y - q1y * q2x)
+    return jnp.sum(jnp.where(alive, contrib, 0.0), axis=0)  # (N,)
 
-    # ensure CCW ordering (box_corners emits CCW for theta conventions, but make
-    # it robust to reflected inputs by flipping when signed area is negative)
-    def _force_ccw(c):
+
+def _intersection_area_lb(ca: jnp.ndarray, cb: jnp.ndarray) -> jnp.ndarray:
+    """Liang-Barsky intersection area over (4, 2, N) CCW corner arrays."""
+    # scale-aware boundary tolerance from typical coordinate magnitude
+    scale = jnp.maximum(
+        jnp.max(jnp.abs(ca), axis=(0, 1)), jnp.max(jnp.abs(cb), axis=(0, 1))
+    ) + 1.0
+    tol = 1e-5 * scale  # (N,)
+
+    def force_ccw(c):
         x, y = c[:, 0], c[:, 1]
-        signed = jnp.sum(x * jnp.roll(y, -1) - y * jnp.roll(x, -1))
-        return jnp.where(signed >= 0, c, c[::-1])
+        signed = jnp.sum(x * jnp.roll(y, -1, axis=0) - y * jnp.roll(x, -1, axis=0), axis=0)
+        return jnp.where(signed[None, None] >= 0, c, c[::-1])
 
-    corners_a = _force_ccw(corners_a)
-    corners_b = _force_ccw(corners_b)
-
-    in_b = _inside(corners_a, corners_b)  # (4,)
-    in_a = _inside(corners_b, corners_a)  # (4,)
-
-    pts = jnp.concatenate([inter_pts.reshape(16, 2), corners_a, corners_b], axis=0)  # (24,2)
-    valid = jnp.concatenate([valid_int.reshape(16), in_b, in_a], axis=0)             # (24,)
-
-    num_valid = jnp.sum(valid)
-    # centroid of valid points
-    safe_count = jnp.maximum(num_valid, 1)
-    centroid = jnp.sum(jnp.where(valid[:, None], pts, 0.0), axis=0) / safe_count
-
-    ang = jnp.arctan2(pts[:, 1] - centroid[1], pts[:, 0] - centroid[0])
-    ang = jnp.where(valid, ang, jnp.inf)  # invalid slots sort last
-    # variadic key-value sort instead of argsort + fancy gather: under the
-    # vmap-over-pairs structure the gather lowers to serialized scatter/gather
-    # on TPU (measured 1.26 s for 24x256x256 pairs); lax.sort is a bitonic
-    # network over lanes and keeps everything on the VPU (~40x faster).
-    # validity rides in the key itself (inf angle <=> invalid slot).
-    sa, sx, sy = jax.lax.sort((ang, pts[:, 0], pts[:, 1]), num_keys=1)
-    first_x, first_y = sx[0], sy[0]
-    vmask = jnp.isfinite(sa)
-    px = jnp.where(vmask, sx, first_x)
-    py = jnp.where(vmask, sy, first_y)
-    nx = jnp.roll(px, -1)
-    ny = jnp.roll(py, -1)
-    area = 0.5 * jnp.abs(jnp.sum(px * ny - py * nx))
-    return jnp.where(num_valid >= 3, area, 0.0)
+    ca = force_ccw(ca)
+    cb = force_ccw(cb)
+    # shoelace of pieces is signed and origin-dependent; the two passes share
+    # the origin so the closed-boundary sum is the true area. inclusive tol on
+    # the A-pass, exclusive on the B-pass => coincident edges counted once.
+    area = _clip_pieces_area(ca, cb, tol) + _clip_pieces_area(cb, ca, -tol)
+    return jnp.maximum(area, 0.0)
 
 
 @jax.jit
@@ -279,9 +276,9 @@ def rotated_iou_pairs(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray
     Used by anchor-target assignment (C7) where only candidate (anchor, gt) pairs
     near each other are evaluated instead of the full N x M matrix.
     """
-    ca = box_corners(boxes_a).astype(jnp.float32)
-    cb = box_corners(boxes_b).astype(jnp.float32)
-    inter = jax.vmap(_pairwise_intersection_area)(ca, cb)
+    ca = jnp.moveaxis(box_corners(boxes_a).astype(jnp.float32), 0, -1)  # (4,2,P)
+    cb = jnp.moveaxis(box_corners(boxes_b).astype(jnp.float32), 0, -1)
+    inter = _intersection_area_lb(ca, cb)
     union = boxes_a[:, 2] * boxes_a[:, 3] + boxes_b[:, 2] * boxes_b[:, 3] - inter
     return jnp.where(union > _EPS, inter / union, 0.0)
 
@@ -290,15 +287,20 @@ def rotated_iou_pairs(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray
 def rotated_iou_matrix(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:
     """(N, M) rotated IoU between boxes (N, 5) and (M, 5), jit-compiled.
 
-    Static-shape, loop-free: vmap over the pair grid; every pair costs a constant
-    amount of VPU work. N*M pairs of ~100 flops — negligible next to the conv
-    stack, and it keeps NMS entirely on device (north-star requirement).
+    Static-shape, loop-free, pair axis on VPU lanes, Liang-Barsky boundary
+    pieces (no sort/gather; see :func:`_clip_pieces_area`) — keeps NMS
+    entirely on device (north-star requirement).
     """
+    N, M = boxes_a.shape[0], boxes_b.shape[0]
     ca = box_corners(boxes_a).astype(jnp.float32)  # (N,4,2)
     cb = box_corners(boxes_b).astype(jnp.float32)  # (M,4,2)
-    inter = jax.vmap(
-        lambda a: jax.vmap(lambda b: _pairwise_intersection_area(a, b))(cb)
-    )(ca)  # (N,M)
+    ca_l = jnp.broadcast_to(
+        jnp.moveaxis(ca, 0, -1)[:, :, :, None], (4, 2, N, M)
+    ).reshape(4, 2, N * M)
+    cb_l = jnp.broadcast_to(
+        jnp.moveaxis(cb, 0, -1)[:, :, None, :], (4, 2, N, M)
+    ).reshape(4, 2, N * M)
+    inter = _intersection_area_lb(ca_l, cb_l).reshape(N, M)
     area_a = (boxes_a[:, 2] * boxes_a[:, 3])[:, None]
     area_b = (boxes_b[:, 2] * boxes_b[:, 3])[None, :]
     union = area_a + area_b - inter
