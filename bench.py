@@ -37,7 +37,7 @@ import numpy as np
 # measured/this — >1.0 means faster than the round-1 record.
 REF_SCENES_PER_SEC = 54.03
 
-BATCH = int(os.environ.get("BENCH_BATCH", "4"))
+BATCH = int(os.environ.get("BENCH_BATCH", "16"))  # throughput config (4 = latency)
 AGENTS = 6
 POINTS = 16384  # padded LiDAR points per agent
 WARMUP = 3
