@@ -118,3 +118,22 @@ def test_batch_iterator(mini_root):
     b = batches[0]
     assert b["bev"].shape[0] == 2
     assert isinstance(b["gt_boxes"], list) and len(b["gt_boxes"]) == 2
+
+
+def test_pose_noise_perturbation():
+    """Pose noise leaves self-poses exact and perturbs cross poses (paper
+    robustness study, utils/pose_noise.py)."""
+    from disconet_tpu.utils.pose_noise import perturb_trans
+
+    rng = np.random.default_rng(0)
+    trans = np.tile(np.eye(4, dtype=np.float32), (2, 3, 3, 1, 1))
+    out = perturb_trans(trans, std_t=0.5, std_r=0.1, rng=rng)
+    for b in range(2):
+        for i in range(3):
+            np.testing.assert_array_equal(out[b, i, i], np.eye(4))
+            for j in range(3):
+                if i != j:
+                    assert not np.allclose(out[b, i, j], np.eye(4))
+    # still rigid: R^T R = I
+    R = out[0, 0, 1][:2, :2]
+    np.testing.assert_allclose(R.T @ R, np.eye(2), atol=1e-5)

@@ -57,6 +57,10 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--score_threshold", type=float, default=None,
                    help="override config score threshold (default 0.3)")
+    p.add_argument("--pose_noise_std", type=float, default=0.0,
+                   help="test-time pose noise: translation std [m] (paper robustness study)")
+    p.add_argument("--pose_noise_rot_std", type=float, default=0.0,
+                   help="test-time pose noise: rotation std [rad]")
     return p.parse_args(argv)
 
 
@@ -107,6 +111,14 @@ def main(argv=None):
                     batch[k] = np.concatenate(
                         [v, np.repeat(np.zeros_like(v[-1:]), pad, axis=0)]
                     )
+        if args.pose_noise_std > 0 or args.pose_noise_rot_std > 0:
+            from disconet_tpu.utils.pose_noise import perturb_trans
+
+            noise_rng = getattr(main, "_noise_rng", None) or np.random.default_rng(args.seed)
+            main._noise_rng = noise_rng
+            batch["trans"] = perturb_trans(
+                batch["trans"], args.pose_noise_std, args.pose_noise_rot_std, noise_rng
+            )
         boxes, scores, keep = jax.device_get(predict(state, batch_to_device(batch)))
         B = int(np.sum(np.any(batch["agent_mask"], axis=1)))
         for b in range(B):
