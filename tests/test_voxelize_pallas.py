@@ -53,3 +53,40 @@ def test_dispatcher_pallas_impl():
     out = voxelize_occupy_pallas(jnp.asarray(pts), VS, EXT, interpret=True)
     ref = voxelize_occupy(pts, VS, EXT, impl="np")
     np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+class TestPallasIoU:
+    """Pallas rotated-IoU kernel (ops/pallas/rotated_iou_pallas.py) vs oracle."""
+
+    def test_matches_oracle(self):
+        from disconet_tpu.ops.rotated_iou import rotated_iou_np
+        from disconet_tpu.ops.pallas.rotated_iou_pallas import rotated_iou_matrix_pallas
+
+        rng = np.random.default_rng(3)
+        N = 50
+        ba = np.stack(
+            [rng.uniform(-10, 10, N), rng.uniform(-10, 10, N),
+             rng.uniform(0.5, 4, N), rng.uniform(0.5, 5, N),
+             rng.uniform(-np.pi, np.pi, N)], 1,
+        ).astype(np.float32)
+        got = np.asarray(rotated_iou_matrix_pallas(jnp.asarray(ba), jnp.asarray(ba), interpret=True))
+        ref = rotated_iou_np(ba, ba)
+        np.testing.assert_allclose(got, ref, atol=2e-3)
+        np.testing.assert_allclose(np.diag(got), 1.0, atol=1e-4)
+
+    def test_batched_and_padded(self):
+        from disconet_tpu.ops.rotated_iou import rotated_iou_np
+        from disconet_tpu.ops.pallas.rotated_iou_pallas import rotated_iou_matrix_pallas
+
+        rng = np.random.default_rng(4)
+        B, N, M = 2, 7, 11  # exercises padding to the 128 block
+        ba = np.stack([rng.uniform(-10, 10, (B, N)), rng.uniform(-10, 10, (B, N)),
+                       rng.uniform(0.5, 4, (B, N)), rng.uniform(0.5, 5, (B, N)),
+                       rng.uniform(-np.pi, np.pi, (B, N))], -1).astype(np.float32)
+        bb = np.stack([rng.uniform(-10, 10, (B, M)), rng.uniform(-10, 10, (B, M)),
+                       rng.uniform(0.5, 4, (B, M)), rng.uniform(0.5, 5, (B, M)),
+                       rng.uniform(-np.pi, np.pi, (B, M))], -1).astype(np.float32)
+        got = np.asarray(rotated_iou_matrix_pallas(jnp.asarray(ba), jnp.asarray(bb), interpret=True))
+        assert got.shape == (B, N, M)
+        for b in range(B):
+            np.testing.assert_allclose(got[b], rotated_iou_np(ba[b], bb[b]), atol=2e-3)
