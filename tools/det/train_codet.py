@@ -71,6 +71,8 @@ def parse_args(argv=None):
                    help="trace N steady-state steps to {logpath}/profile (SURVEY.md 5.2)")
     p.add_argument("--debug_nans", type=int, default=0, help="jax_debug_nans CI smoke mode")
     p.add_argument("--ckpt_every", type=int, default=1, help="save checkpoints every N epochs")
+    p.add_argument("--ckpt_keep", type=int, default=5,
+                   help="orbax checkpoints retained (0 = keep all; epoch_N.pth exports are never pruned)")
     p.add_argument("--cache_items", type=int, default=256, help="in-memory dataset item cache")
     return p.parse_args(argv)
 
@@ -152,7 +154,7 @@ def main(argv=None):
 
     logdir = os.path.join(args.logpath, mode_name(args))
     os.makedirs(logdir, exist_ok=True)
-    ckpt_io = CheckpointIO(os.path.join(logdir, "ckpt"))
+    ckpt_io = CheckpointIO(os.path.join(logdir, "ckpt"), max_to_keep=args.ckpt_keep or None)
     state, start_epoch = load_student_ckpt(args, state, ckpt_io)
     logger = MetricLogger(logdir, log=args.log)
 

@@ -44,6 +44,8 @@ def parse_args(argv=None):
     p.add_argument("--grid", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--ckpt_keep", type=int, default=5,
+                   help="orbax checkpoints retained (0 = keep all)")
     return p.parse_args(argv)
 
 
@@ -63,7 +65,7 @@ def main(argv=None):
 
     mode = (args.com or args.bound or "lowerbound") + "_seg"
     logdir = os.path.join(args.logpath, mode)
-    ckpt_io = CheckpointIO(os.path.join(logdir, "ckpt"))
+    ckpt_io = CheckpointIO(os.path.join(logdir, "ckpt"), max_to_keep=args.ckpt_keep or None)
     start_epoch = 0
     if args.resume:
         state, e = CheckpointIO(args.resume).restore(state)
