@@ -227,21 +227,34 @@ class BatchIterator:
 
     Replaces torch DataLoader (SURVEY.md C2 rebuild note). Drops the last
     partial batch (static shapes under jit). Prefetch depth 2 keeps the host
-    pipeline ahead of the device without unbounded memory.
+    pipeline ahead of the device without unbounded memory; ``num_workers``
+    threads load items concurrently (numpy IO releases the GIL) — the
+    reference CLI's ``--nworker``.
     """
 
-    def __init__(self, dataset, batch_size: int, shuffle: bool = True, seed: int = 0, drop_last: bool = True):
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        num_workers: int = 2,
+    ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.rng = np.random.default_rng(seed)
         self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
 
     def __len__(self) -> int:
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self):
+        import concurrent.futures
+
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)
@@ -249,9 +262,11 @@ class BatchIterator:
         q: "queue.Queue" = queue.Queue(maxsize=2)
 
         def producer():
-            for b in range(nb):
-                idx = order[b * self.batch_size : (b + 1) * self.batch_size]
-                q.put(collate_det([self.dataset[int(i)] for i in idx]))
+            with concurrent.futures.ThreadPoolExecutor(self.num_workers) as pool:
+                for b in range(nb):
+                    idx = order[b * self.batch_size : (b + 1) * self.batch_size]
+                    items = list(pool.map(self.dataset.__getitem__, (int(i) for i in idx)))
+                    q.put(collate_det(items))
             q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)

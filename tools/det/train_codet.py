@@ -123,7 +123,7 @@ def main(argv=None):
                         dense_targets=False, cache_items=args.cache_items)
     if len(dataset) == 0:
         raise SystemExit(f"no frames found under {args.data}")
-    loader = BatchIterator(dataset, args.batch, shuffle=True, seed=args.seed)
+    loader = BatchIterator(dataset, args.batch, shuffle=True, seed=args.seed, num_workers=args.nworker)
     print(f"dataset: {len(dataset)} scene-frames, {len(loader)} batches/epoch")
 
     model = build_model(args.com or args.bound, cfg, kd_flag=bool(args.kd_flag),

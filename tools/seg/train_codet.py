@@ -56,7 +56,7 @@ def main(argv=None):
     dataset = V2XSimSeg(args.data, cfg, rsu=bool(args.rsu), bound=args.bound, cache_items=256)
     if len(dataset) == 0:
         raise SystemExit(f"no frames under {args.data}")
-    loader = BatchIterator(dataset, args.batch, shuffle=True, seed=args.seed)
+    loader = BatchIterator(dataset, args.batch, shuffle=True, seed=args.seed, num_workers=args.nworker)
     print(f"dataset: {len(dataset)} scene-frames, {len(loader)} batches/epoch")
 
     model = build_model(args.com or args.bound, cfg, layer=args.layer, task="seg")
