@@ -50,8 +50,8 @@ def main():
 
     from disconet_tpu.config import Config
     from disconet_tpu.models import build_model
-    from disconet_tpu.ops.boxes import decode_boxes, make_anchors
-    from disconet_tpu.ops.nms import rotated_nms
+    from disconet_tpu.ops.boxes import make_anchors
+    from disconet_tpu.ops.nms import foreground_scores, rotated_nms_decode
     from disconet_tpu.ops.voxelize import voxelize_occupy_jax
     from __graft_entry__ import _example_batch
 
@@ -81,7 +81,8 @@ def main():
     import functools
 
     nms = functools.partial(
-        rotated_nms,
+        rotated_nms_decode,
+        anchors=jnp.asarray(anchors),
         iou_threshold=cfg.nms_iou_threshold,
         score_threshold=cfg.score_threshold,
         top_k=K,
@@ -93,9 +94,9 @@ def main():
         out = model.apply(variables, bev, trans, mask, train=False)
         B, A = out["cls"].shape[:2]
         n = anchors.shape[0]
-        scores = jax.nn.softmax(out["cls"].astype(jnp.float32), -1)[..., 1].reshape(B * A, n)
-        boxes = decode_boxes(out["reg"].reshape(B * A, n, cfg.box_code_size), anchors[None])
-        b, s, keep = jax.vmap(nms)(boxes, scores)
+        scores = foreground_scores(out["cls"]).reshape(B * A, n)
+        deltas = out["reg"].reshape(B * A, n, cfg.box_code_size).astype(jnp.float32)
+        b, s, keep = jax.vmap(nms)(deltas, scores)
         # scalar checksum: fetching it to host is the only reliable execution
         # barrier here (the axon tunnel's block_until_ready returns before the
         # remote computation finishes — measured 0.1 ms "forwards" otherwise)

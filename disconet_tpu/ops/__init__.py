@@ -30,7 +30,11 @@ from disconet_tpu.ops.rotated_iou import (  # noqa: F401
     rotated_iou_pairs_np,
     rotated_iou_matrix_np,
 )
-from disconet_tpu.ops.nms import rotated_nms  # noqa: F401
+from disconet_tpu.ops.nms import (  # noqa: F401
+    foreground_scores,
+    rotated_nms,
+    rotated_nms_decode,
+)
 from disconet_tpu.ops.losses import (  # noqa: F401
     softmax_focal_loss,
     weighted_smooth_l1,

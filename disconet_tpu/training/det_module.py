@@ -30,9 +30,9 @@ from flax import struct
 from flax.training import train_state
 
 from disconet_tpu.config import Config
-from disconet_tpu.ops.boxes import decode_boxes, make_anchors
+from disconet_tpu.ops.boxes import make_anchors
 from disconet_tpu.ops.losses import kd_feature_loss, softmax_focal_loss, weighted_smooth_l1
-from disconet_tpu.ops.nms import rotated_nms
+from disconet_tpu.ops.nms import foreground_scores, rotated_nms_decode
 
 
 class DetTrainState(train_state.TrainState):
@@ -204,18 +204,18 @@ def make_predict_step(model, config: Config) -> Callable:
         )
         B, A = out["cls"].shape[:2]
         n = anchors.shape[0]
-        scores = jax.nn.softmax(out["cls"].astype(jnp.float32), axis=-1)[..., 1]
-        scores = scores.reshape(B * A, n)
-        deltas = out["reg"].reshape(B * A, n, config.box_code_size)
-        boxes = decode_boxes(deltas, anchors[None])  # (B*A, n, 5)
+        scores = foreground_scores(out["cls"]).reshape(B * A, n)
+        deltas = out["reg"].reshape(B * A, n, config.box_code_size).astype(jnp.float32)
 
+        # top-k first, decode only the K winners (not all ~400k anchors/frame)
         nms = functools.partial(
-            rotated_nms,
+            rotated_nms_decode,
+            anchors=jnp.asarray(anchors),
             iou_threshold=config.nms_iou_threshold,
             score_threshold=config.score_threshold,
             top_k=K,
         )
-        b, s, keep = jax.vmap(nms)(boxes, scores)
+        b, s, keep = jax.vmap(nms)(deltas, scores)
         return (
             b.reshape(B, A, K, 5),
             s.reshape(B, A, K),

@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from disconet_tpu.config import Config, tiny_config
@@ -139,6 +140,41 @@ class TestNMS:
             iou_threshold=0.3, score_threshold=0.5, top_k=4,
         )
         assert np.asarray(keep).sum() == 1
+
+    def test_sparse_decode_matches_dense(self):
+        """rotated_nms_decode (top-k then decode) == decode-all then rotated_nms.
+
+        The codec is per-anchor, so candidate selection commutes with decoding;
+        exact_top_k makes the two paths deterministic and comparable."""
+        from disconet_tpu.ops.nms import rotated_nms_decode
+
+        rng = np.random.default_rng(7)
+        n = 500
+        anchors = _random_boxes(n, rng, spread=20.0)
+        deltas = rng.normal(0, 0.3, size=(n, 6)).astype(np.float32)
+        scores = rng.uniform(0, 1, size=n).astype(np.float32)
+
+        dense_boxes = np.asarray(decode_boxes(jnp.asarray(deltas), jnp.asarray(anchors)))
+        b_ref, s_ref, k_ref = rotated_nms(
+            jnp.asarray(dense_boxes), jnp.asarray(scores),
+            iou_threshold=0.3, score_threshold=0.2, top_k=64, exact_top_k=True,
+        )
+        b, s, k = rotated_nms_decode(
+            jnp.asarray(deltas), jnp.asarray(scores), jnp.asarray(anchors),
+            iou_threshold=0.3, score_threshold=0.2, top_k=64, exact_top_k=True,
+        )
+        np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(b_ref), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(k), np.asarray(k_ref))
+
+    def test_foreground_scores_matches_softmax(self):
+        from disconet_tpu.ops.nms import foreground_scores
+
+        rng = np.random.default_rng(8)
+        logits = rng.normal(0, 3, size=(4, 7, 2)).astype(np.float32)
+        want = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))[..., 1]
+        got = np.asarray(foreground_scores(jnp.asarray(logits)))
+        np.testing.assert_allclose(got, want, atol=1e-6)
 
 
 class TestVoxelize:
