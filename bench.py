@@ -65,7 +65,7 @@ def main():
         [x_lo, y_lo, z_lo], [x_hi, y_hi, z_hi], size=(BATCH, AGENTS, POINTS, 3)
     ).astype(np.float32)
 
-    anchors = make_anchors(cfg).reshape(-1, 5)
+    anchors = make_anchors(cfg)  # (H, W, A, 5)
     K = cfg.nms_top_k
 
     bev0 = voxelize_occupy_jax(
@@ -93,9 +93,9 @@ def main():
         bev = voxelize_occupy_jax(pts, cfg.voxel_size, cfg.area_extents)
         out = model.apply(variables, bev, trans, mask, train=False)
         B, A = out["cls"].shape[:2]
-        n = anchors.shape[0]
-        scores = foreground_scores(out["cls"]).reshape(B * A, n)
-        deltas = out["reg"].reshape(B * A, n, cfg.box_code_size).astype(jnp.float32)
+        # leading-dim merges only; spatial layout preserved (no big relayouts)
+        scores = foreground_scores(out["cls"]).reshape((B * A,) + out["cls"].shape[2:-1])
+        deltas = out["reg"].reshape((B * A,) + out["reg"].shape[2:]).astype(jnp.float32)
         b, s, keep = jax.vmap(nms)(deltas, scores)
         # scalar checksum: fetching it to host is the only reliable execution
         # barrier here (the axon tunnel's block_until_ready returns before the

@@ -49,6 +49,42 @@ def _select_candidates(scores, score_threshold, top_k, exact_top_k):
     return top_scores, idx, k
 
 
+def _select_candidates_spatial(scores, score_threshold, top_k, exact_top_k):
+    """Two-level top-k over (H, W, A) scores without flattening the tensor.
+
+    Flattening (H, W, A) -> (N,) forces a tiled-layout relayout on TPU and a
+    top-k over the full N ≈ 400k anchors (measured 16 ms/96 frames at the
+    reference geometry). Instead: (1) max over the anchor axis — a minor-dim
+    lane reduction; (2) top-k over the H*W cell maxima (6x less data, and the
+    (H, W) flatten of a rank-2 result is cheap); (3) exact top-k over the
+    winners' K*A individual scores. Level 2+3 are *exact* w.r.t. level-1
+    selection: if score s ranks in the global top-K, fewer than K cells can
+    have a maximum above s, so s's cell survives level 2.
+
+    Returns (top_scores, (h, w, a) index vectors) padded to top_k.
+    """
+    H, W, A = scores.shape
+    cell_max = jnp.max(scores, axis=-1).reshape(-1)  # (H*W,)
+    k = min(top_k, cell_max.shape[0])
+    if exact_top_k or cell_max.shape[0] <= top_k:
+        _, cells = jax.lax.top_k(cell_max, k)
+    else:
+        _, cells = jax.lax.approx_max_k(cell_max, k, recall_target=0.99)
+    cand = scores[cells // W, cells % W]  # (k, A) gather, natural layout
+    kk = min(top_k, cand.size)
+    vals, pos = jax.lax.top_k(cand.reshape(-1), kk)
+    cell_sel = cells[pos // A]
+    h = cell_sel // W
+    w = cell_sel % W
+    a = pos % A
+    vals = jnp.where(vals >= score_threshold, vals, -1.0)
+    vals = _pad_to(vals, top_k, -1.0)
+    h = _pad_to(h, top_k, 0)
+    w = _pad_to(w, top_k, 0)
+    a = _pad_to(a, top_k, 0)
+    return vals, (h, w, a)
+
+
 def _pad_to(x, top_k, fill):
     pad = top_k - x.shape[0]
     if pad <= 0:
@@ -132,16 +168,24 @@ def rotated_nms_decode(
     geometry N ≈ 400k anchors/frame and the dense decode pass dominated the
     end-to-end pipeline (24.6 of 114.8 ms at batch 16 on v5e).
 
-    Args:
-        deltas: (N, code) regression outputs.
-        scores: (N,) foreground scores (see :func:`foreground_scores`).
-        anchors: (N, 5) anchor boxes aligned with ``deltas``.
+    Two input layouts:
+      * spatial (preferred): deltas (H, W, A, code), scores (H, W, A), anchors
+        (H, W, A, 5) — candidate selection runs the two-level top-k of
+        :func:`_select_candidates_spatial` and all gathers stay in the natural
+        head-output layout, so the ~400k-anchor tensors are never relayouted.
+      * flat: deltas (N, code), scores (N,), anchors (N, 5).
 
     Returns: same fixed-size (boxes, scores, keep) triple as :func:`rotated_nms`.
     """
-    top_scores, idx, _ = _select_candidates(scores, score_threshold, top_k, exact_top_k)
-    top_boxes = decode_boxes(deltas[idx], anchors[idx])
-    top_boxes = _pad_to(top_boxes, top_k, 0.0)
-    top_scores = _pad_to(top_scores, top_k, -1.0)
+    if scores.ndim == 3:
+        top_scores, (h, w, a) = _select_candidates_spatial(
+            scores, score_threshold, top_k, exact_top_k
+        )
+        top_boxes = decode_boxes(deltas[h, w, a], anchors[h, w, a])
+    else:
+        top_scores, idx, _ = _select_candidates(scores, score_threshold, top_k, exact_top_k)
+        top_boxes = decode_boxes(deltas[idx], anchors[idx])
+        top_boxes = _pad_to(top_boxes, top_k, 0.0)
+        top_scores = _pad_to(top_scores, top_k, -1.0)
     keep = _suppress(top_boxes, top_scores, iou_threshold, top_k)
     return top_boxes, top_scores, keep

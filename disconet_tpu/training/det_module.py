@@ -191,7 +191,7 @@ def make_predict_step(model, config: Config) -> Callable:
     Returns fixed-size per-agent detections: boxes (B, A, K, 5), scores
     (B, A, K), keep (B, A, K) bool. Host code filters by keep & agent_mask.
     """
-    anchors = make_anchors(config).reshape(-1, 5)  # trace-time constant
+    anchors = make_anchors(config)  # (H, W, A, 5) trace-time constant
     K = config.nms_top_k
 
     def predict(state: DetTrainState, batch):
@@ -203,9 +203,10 @@ def make_predict_step(model, config: Config) -> Callable:
             train=False,
         )
         B, A = out["cls"].shape[:2]
-        n = anchors.shape[0]
-        scores = foreground_scores(out["cls"]).reshape(B * A, n)
-        deltas = out["reg"].reshape(B * A, n, config.box_code_size).astype(jnp.float32)
+        # leading-dim merges only — the (H, W, A[, code]) layout is preserved so
+        # candidate selection/gather never relayouts the ~400k-anchor tensors
+        scores = foreground_scores(out["cls"]).reshape((B * A,) + out["cls"].shape[2:-1])
+        deltas = out["reg"].reshape((B * A,) + out["reg"].shape[2:]).astype(jnp.float32)
 
         # top-k first, decode only the K winners (not all ~400k anchors/frame)
         nms = functools.partial(

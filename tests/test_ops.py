@@ -167,6 +167,40 @@ class TestNMS:
         np.testing.assert_allclose(np.asarray(b), np.asarray(b_ref), atol=1e-5)
         np.testing.assert_array_equal(np.asarray(k), np.asarray(k_ref))
 
+    def test_spatial_decode_matches_flat(self):
+        """Spatial (H, W, A) two-level selection == flat (N,) selection.
+
+        exact_top_k on both; valid (kept-or-suppressed-but-above-threshold)
+        slots must agree — padding/invalid slots may order differently."""
+        from disconet_tpu.ops.nms import rotated_nms_decode
+
+        rng = np.random.default_rng(11)
+        H, W, A = 8, 8, 6
+        n = H * W * A
+        anchors = _random_boxes(n, rng, spread=30.0).reshape(H, W, A, 5)
+        deltas = rng.normal(0, 0.3, size=(H, W, A, 6)).astype(np.float32)
+        scores = rng.uniform(0, 1, size=(H, W, A)).astype(np.float32)
+
+        b_f, s_f, k_f = rotated_nms_decode(
+            jnp.asarray(deltas.reshape(n, 6)), jnp.asarray(scores.reshape(n)),
+            jnp.asarray(anchors.reshape(n, 5)),
+            iou_threshold=0.3, score_threshold=0.2, top_k=64, exact_top_k=True,
+        )
+        b_s, s_s, k_s = rotated_nms_decode(
+            jnp.asarray(deltas), jnp.asarray(scores), jnp.asarray(anchors),
+            iou_threshold=0.3, score_threshold=0.2, top_k=64, exact_top_k=True,
+        )
+        valid_f = np.asarray(s_f) > -1.0
+        valid_s = np.asarray(s_s) > -1.0
+        np.testing.assert_array_equal(valid_s, valid_f)
+        np.testing.assert_allclose(
+            np.asarray(s_s)[valid_s], np.asarray(s_f)[valid_f], atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(b_s)[valid_s], np.asarray(b_f)[valid_f], atol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(k_s), np.asarray(k_f))
+
     def test_foreground_scores_matches_softmax(self):
         from disconet_tpu.ops.nms import foreground_scores
 
