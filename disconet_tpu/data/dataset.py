@@ -24,6 +24,7 @@ import numpy as np
 
 from disconet_tpu.config import Config
 from disconet_tpu.data import schema
+from disconet_tpu.ops.bitpack import pack_bev_np
 
 
 class V2XSimDet:
@@ -48,19 +49,24 @@ class V2XSimDet:
         keep_gt_boxes: bool = True,
         dense_targets: bool = True,
         cache_items: int = 0,
+        pack_bits: bool = True,
     ):
         """``dense_targets=False`` skips materializing the reference's dense
         (H, W, A, code) target tensors — the train step consumes the sparse
         encoding, and skipping the dense build makes items small enough to
         cache. ``cache_items`` > 0 keeps that many assembled items in memory
         (this box has one CPU core; re-decompressing frames every epoch would
-        starve the device)."""
+        starve the device). ``pack_bits`` (default) stores the binary BEV
+        grids bit-packed over z (ops/bitpack.py) as ``bev_packed`` /
+        ``bev_teacher_packed``: 6.5x smaller cache + collate + transfer; the
+        jitted steps unpack on device (training/det_module.get_bev)."""
         self.config = config
         self.rsu = rsu
         self.bound = bound
         self.keep_gt_boxes = keep_gt_boxes
         self.dense_targets = dense_targets
         self.cache_items = cache_items
+        self.pack_bits = pack_bits
         self._cache: Dict[int, Dict[str, np.ndarray]] = {}
         if isinstance(root, (list, tuple)):
             agent_roots = list(root)
@@ -149,9 +155,13 @@ class V2XSimDet:
         # sparse positive-anchor targets are always present (the train step
         # reconstructs dense masks on device, training/det_module._losses);
         # dense reference tensors only when dense_targets=True (compat/tests)
+        if self.pack_bits:
+            bev_keys = {"bev_packed": pack_bev_np(bev),
+                        "bev_teacher_packed": pack_bev_np(bev_teacher)}
+        else:
+            bev_keys = {"bev": bev, "bev_teacher": bev_teacher}
         out = {
-            "bev": bev,
-            "bev_teacher": bev_teacher,
+            **bev_keys,
             "reg_pos_idx": pos_idx,
             "reg_pos_target": pos_target,
             "trans": trans,
@@ -200,9 +210,13 @@ class V2XSimSeg(V2XSimDet):
             n = min(MA, tm.shape[0] - off)
             trans[slot, :n] = tm[off : off + n]
 
+        if self.pack_bits:
+            bev_keys = {"bev_packed": pack_bev_np(bev),
+                        "bev_teacher_packed": pack_bev_np(bev_teacher)}
+        else:
+            bev_keys = {"bev": bev, "bev_teacher": bev_teacher}
         return {
-            "bev": bev,
-            "bev_teacher": bev_teacher,
+            **bev_keys,
             "seg_label": seg,
             "trans": trans,
             "agent_mask": agent_mask,

@@ -46,6 +46,8 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict[str, jax.Array]:
     """Host batch -> device arrays with the scene axis sharded over 'data'."""
+    from disconet_tpu.ops.bitpack import pack_bev_np
+
     bs = batch_sharding(mesh)
     rep = replicated(mesh)
     sparse = "reg_pos_idx" in batch
@@ -56,6 +58,9 @@ def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict[str, jax.Array
         if sparse and k in ("label_one_hot", "reg_target", "reg_mask"):
             continue  # redundant dense targets (training/det_module.py)
         arr = np.asarray(v)
+        if k in ("bev", "bev_teacher") and arr.dtype in (np.uint8, np.bool_):
+            # binary grids ship bit-packed (ops/bitpack.py; get_bev unpacks)
+            arr, k = pack_bev_np(arr), k + "_packed"
         sh = bs if arr.ndim >= 1 and arr.shape[0] % mesh.shape["data"] == 0 else rep
         out[k] = jax.device_put(arr, sh)
     return out

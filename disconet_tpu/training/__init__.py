@@ -7,6 +7,8 @@ from disconet_tpu.training.det_module import (  # noqa: F401
     make_eval_step,
     make_predict_step,
     batch_to_device,
+    get_bev,
+    prefetch_to_device,
 )
 from disconet_tpu.training.checkpoint import (  # noqa: F401
     CheckpointIO,

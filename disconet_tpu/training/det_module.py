@@ -30,9 +30,27 @@ from flax import struct
 from flax.training import train_state
 
 from disconet_tpu.config import Config
+from disconet_tpu.ops.bitpack import pack_bev_np, unpack_bev, unpack_bev_np
 from disconet_tpu.ops.boxes import make_anchors
 from disconet_tpu.ops.losses import kd_feature_loss, softmax_focal_loss, weighted_smooth_l1
 from disconet_tpu.ops.nms import foreground_scores, rotated_nms_decode
+
+
+def get_bev(batch, key: str, config: Config):
+    """Fetch a BEV tensor from a device batch, unpacking the bit-packed
+    transport encoding (ops/bitpack.py) when present. A dense ``key`` entry
+    wins over ``key_packed`` so callers can override; step functions accept
+    either layout (tests and legacy callers pass dense grids)."""
+    if key in batch:
+        return batch[key]
+    return unpack_bev(batch[key + "_packed"], config.bev_shape[-1])
+
+
+def get_bev_np(batch, key: str, config: Config) -> np.ndarray:
+    """Host twin of :func:`get_bev` (model init, visualization, tests)."""
+    if key in batch:
+        return np.asarray(batch[key])
+    return unpack_bev_np(np.asarray(batch[key + "_packed"]), config.bev_shape[-1])
 
 
 class DetTrainState(train_state.TrainState):
@@ -50,7 +68,7 @@ def create_train_state(
     """
     variables = model.init(
         rng,
-        jnp.asarray(sample_batch["bev"]),
+        jnp.asarray(get_bev_np(sample_batch, "bev", config)),
         jnp.asarray(sample_batch["trans"]),
         jnp.asarray(sample_batch["agent_mask"]),
         train=False,
@@ -139,13 +157,17 @@ def make_train_step(
         teacher_out = None
         if kd_flag and teacher is not None:
             teacher_out = teacher.apply(
-                teacher_vars, batch["bev_teacher"], None, batch["agent_mask"], train=False
+                teacher_vars,
+                get_bev(batch, "bev_teacher", config),
+                None,
+                batch["agent_mask"],
+                train=False,
             )
 
         def loss_fn(params):
             out, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch["bev"],
+                get_bev(batch, "bev", config),
                 batch["trans"],
                 batch["agent_mask"],
                 train=True,
@@ -170,11 +192,15 @@ def make_eval_step(model, config: Config, teacher=None, kd_flag: bool = False) -
         teacher_out = None
         if kd_flag and teacher is not None:
             teacher_out = teacher.apply(
-                teacher_vars, batch["bev_teacher"], None, batch["agent_mask"], train=False
+                teacher_vars,
+                get_bev(batch, "bev_teacher", config),
+                None,
+                batch["agent_mask"],
+                train=False,
             )
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
-            batch["bev"],
+            get_bev(batch, "bev", config),
             batch["trans"],
             batch["agent_mask"],
             train=False,
@@ -197,7 +223,7 @@ def make_predict_step(model, config: Config) -> Callable:
     def predict(state: DetTrainState, batch):
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
-            batch["bev"],
+            get_bev(batch, "bev", config),
             batch["trans"],
             batch["agent_mask"],
             train=False,
@@ -229,17 +255,23 @@ def make_predict_step(model, config: Config) -> Callable:
 _DEVICE_KEYS = (
     "bev",
     "bev_teacher",
+    "bev_packed",
+    "bev_teacher_packed",
     "label_one_hot",
     "reg_target",
     "reg_mask",
     "reg_pos_idx",
     "reg_pos_target",
+    "seg_label",
     "trans",
     "agent_mask",
 )
 # dense target tensors are redundant (and ~250 MB/batch over the device
 # tunnel) when the sparse encoding is present
 _DENSE_TARGET_KEYS = ("label_one_hot", "reg_target", "reg_mask")
+# binary grids ship bit-packed over the z axis (6.5x less tunnel traffic,
+# ops/bitpack.py); the step functions unpack on device (get_bev)
+_PACK_KEYS = ("bev", "bev_teacher")
 
 
 def batch_to_device(batch: Dict[str, np.ndarray], sharding=None) -> Dict[str, jnp.ndarray]:
@@ -247,6 +279,30 @@ def batch_to_device(batch: Dict[str, np.ndarray], sharding=None) -> Dict[str, jn
     sparse = "reg_pos_idx" in batch
     out = {}
     for k in _DEVICE_KEYS:
-        if k in batch and not (sparse and k in _DENSE_TARGET_KEYS):
-            out[k] = jax.device_put(jnp.asarray(batch[k]), sharding) if sharding else jnp.asarray(batch[k])
+        if k not in batch or (sparse and k in _DENSE_TARGET_KEYS):
+            continue
+        arr, key = batch[k], k
+        if k in _PACK_KEYS and np.asarray(arr).dtype in (np.uint8, np.bool_):
+            arr, key = pack_bev_np(arr), k + "_packed"
+        out[key] = jax.device_put(jnp.asarray(arr), sharding) if sharding else jnp.asarray(arr)
     return out
+
+
+def prefetch_to_device(batches, to_device=batch_to_device, depth: int = 2):
+    """Wrap a host-batch iterator so host->device transfers run ahead.
+
+    ``jax.device_put`` is asynchronous; issuing the transfer of batch n+1
+    before consuming batch n overlaps the (slow, CLAUDE.md) host->device link
+    with the device executing step n. ``to_device`` defaults to
+    :func:`batch_to_device`; pass ``functools.partial(shard_batch, mesh=mesh)``
+    for the multi-device path.
+    """
+    from collections import deque
+
+    buf = deque()
+    for b in batches:
+        buf.append(to_device(b))
+        if len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()

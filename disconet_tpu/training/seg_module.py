@@ -14,13 +14,13 @@ import numpy as np
 import optax
 
 from disconet_tpu.config import Config
-from disconet_tpu.training.det_module import DetTrainState
+from disconet_tpu.training.det_module import DetTrainState, get_bev, get_bev_np
 
 
 def create_seg_train_state(model, config: Config, rng, sample_batch, lr: float = 1e-3) -> DetTrainState:
     variables = model.init(
         rng,
-        jnp.asarray(sample_batch["bev"]),
+        jnp.asarray(get_bev_np(sample_batch, "bev", config)),
         jnp.asarray(sample_batch["trans"]),
         jnp.asarray(sample_batch["agent_mask"]),
         train=False,
@@ -50,7 +50,7 @@ def make_seg_train_step(model, config: Config) -> Callable:
         def loss_fn(params):
             out, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch["bev"],
+                get_bev(batch, "bev", config),
                 batch["trans"],
                 batch["agent_mask"],
                 train=True,
@@ -72,7 +72,7 @@ def make_seg_predict_step(model, config: Config) -> Callable:
     def predict(state: DetTrainState, batch):
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
-            batch["bev"],
+            get_bev(batch, "bev", config),
             batch["trans"],
             batch["agent_mask"],
             train=False,

@@ -65,7 +65,7 @@ def test_anchors_map_roundtrip():
 
 
 def test_dataset_shapes_and_masking(mini_root):
-    ds = V2XSimDet(mini_root, CFG, rsu=True)
+    ds = V2XSimDet(mini_root, CFG, rsu=True, pack_bits=False)
     assert len(ds) == 2
     item = ds[0]
     MA = CFG.max_agents
@@ -82,8 +82,8 @@ def test_dataset_shapes_and_masking(mini_root):
 
 
 def test_dataset_rsu_switch(mini_root):
-    with_rsu = V2XSimDet(mini_root, CFG, rsu=True)[0]
-    no_rsu = V2XSimDet(mini_root, CFG, rsu=False)[0]
+    with_rsu = V2XSimDet(mini_root, CFG, rsu=True, pack_bits=False)[0]
+    no_rsu = V2XSimDet(mini_root, CFG, rsu=False, pack_bits=False)[0]
     assert no_rsu["agent_mask"].sum() == with_rsu["agent_mask"].sum() - 1
     # agent 1's data moves to slot 0 when the RSU is dropped
     np.testing.assert_array_equal(no_rsu["bev"][0], with_rsu["bev"][1])
@@ -93,7 +93,21 @@ def test_dataset_rsu_switch(mini_root):
 
 def test_dataset_upperbound(mini_root):
     ub = V2XSimDet(mini_root, CFG, rsu=True, bound="upperbound")[0]
-    np.testing.assert_array_equal(ub["bev"], ub["bev_teacher"])
+    np.testing.assert_array_equal(ub["bev_packed"], ub["bev_teacher_packed"])
+
+
+def test_dataset_packed_default_matches_dense(mini_root):
+    """pack_bits=True (the default transport layout) must round-trip to the
+    dense grids bit-for-bit (ops/bitpack.py)."""
+    from disconet_tpu.ops.bitpack import unpack_bev_np
+
+    dense = V2XSimDet(mini_root, CFG, rsu=True, pack_bits=False)[0]
+    packed = V2XSimDet(mini_root, CFG, rsu=True)[0]
+    z = CFG.grid_size[2]
+    np.testing.assert_array_equal(
+        unpack_bev_np(packed["bev_packed"], z, np.uint8), dense["bev"])
+    np.testing.assert_array_equal(
+        unpack_bev_np(packed["bev_teacher_packed"], z, np.uint8), dense["bev_teacher"])
 
 
 def test_trans_matrices_consistency(mini_root):
@@ -116,7 +130,7 @@ def test_batch_iterator(mini_root):
     batches = list(it)
     assert len(batches) == 1
     b = batches[0]
-    assert b["bev"].shape[0] == 2
+    assert b["bev_packed"].shape[0] == 2
     assert isinstance(b["gt_boxes"], list) and len(b["gt_boxes"]) == 2
 
 

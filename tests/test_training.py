@@ -57,6 +57,49 @@ def test_loss_goes_down(com):
     assert np.isfinite(float(m["loss"]))
 
 
+def test_bitpack_roundtrip():
+    from disconet_tpu.ops.bitpack import pack_bev_np, packed_width, unpack_bev
+
+    rng = np.random.default_rng(5)
+    for z in (13, 8, 3, 16):
+        grid = (rng.random((2, 3, 7, z)) < 0.3).astype(np.uint8)
+        packed = pack_bev_np(grid)
+        assert packed.shape == grid.shape[:-1] + (packed_width(z),)
+        back = np.asarray(unpack_bev(jnp.asarray(packed), z))
+        np.testing.assert_array_equal(back, grid.astype(np.float32))
+
+
+def test_packed_batch_matches_dense():
+    """uint8 batches ship bit-packed through batch_to_device; the train step
+    must produce identical metrics to the dense float path."""
+    batch = _batch()
+    model = build_model("disco", CFG)
+    state = create_train_state(model, CFG, jax.random.PRNGKey(0), batch, lr=1e-3)
+    state2 = jax.tree_util.tree_map(jnp.array, state)  # real copy: step donates state
+    step = make_train_step(model, CFG)
+
+    dense = batch_to_device(batch)
+    assert "bev" in dense  # float bevs pass through unpacked
+    u8 = dict(batch)
+    u8["bev"] = batch["bev"].astype(np.uint8)
+    u8["bev_teacher"] = batch["bev_teacher"].astype(np.uint8)
+    packed = batch_to_device(u8)
+    assert "bev_packed" in packed and "bev" not in packed
+
+    _, m1 = step(state, dense, None)
+    _, m2 = step(state2, packed, None)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=1e-5)
+
+
+def test_prefetch_to_device_order():
+    from disconet_tpu.training import prefetch_to_device
+
+    batches = [{"agent_mask": np.full((1, 1), i, np.int32)} for i in range(5)]
+    out = list(prefetch_to_device(iter(batches), depth=3))
+    assert [int(b["agent_mask"][0, 0]) for b in out] == list(range(5))
+
+
 def test_kd_train_step():
     batch = _batch()
     model = build_model("disco", CFG, kd_flag=True)

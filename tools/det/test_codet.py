@@ -102,8 +102,8 @@ def main(argv=None):
 
     n_frames = 0
     for batch in loader:
-        if batch["bev"].shape[0] != args.batch:  # static-shape jit: pad last batch
-            pad = args.batch - batch["bev"].shape[0]
+        if batch["agent_mask"].shape[0] != args.batch:  # static-shape jit: pad last batch
+            pad = args.batch - batch["agent_mask"].shape[0]
             for k, v in list(batch.items()):
                 if k == "gt_boxes":
                     batch[k] = v + [[np.zeros((0, 5), np.float32)] * cfg.max_agents] * pad
@@ -192,7 +192,9 @@ def _render(args, cfg, batch, b, a, scene, frame, d_boxes, d_scores):
 
     out_dir = os.path.join(args.logpath, "vis")
     os.makedirs(out_dir, exist_ok=True)
-    fig = render_bev(cfg, batch["bev"][b, a], batch["gt_boxes"][b][a], d_boxes, d_scores)
+    from disconet_tpu.training.det_module import get_bev_np
+
+    fig = render_bev(cfg, get_bev_np(batch, "bev", cfg)[b, a], batch["gt_boxes"][b][a], d_boxes, d_scores)
     fig.savefig(os.path.join(out_dir, f"s{scene}_f{frame}_a{a}.png"), dpi=100)
     plt.close(fig)
 

@@ -37,6 +37,7 @@ from disconet_tpu.training import (
     batch_to_device,
     create_train_state,
     make_train_step,
+    prefetch_to_device,
 )
 from disconet_tpu.training.checkpoint import load_pth, save_pth
 
@@ -135,15 +136,18 @@ def main(argv=None):
 
     teacher = teacher_vars = None
     if args.kd_flag:
+        from disconet_tpu.training.det_module import get_bev_np
+
         teacher = TeacherNet(config=cfg)
         t_rng = jax.random.PRNGKey(args.seed + 1)
-        tv = teacher.init(t_rng, sample["bev_teacher"], None, sample["agent_mask"], train=False)
+        teacher_bev = get_bev_np(sample, "bev_teacher", cfg)
+        tv = teacher.init(t_rng, teacher_bev, None, sample["agent_mask"], train=False)
         if args.resume_teacher:
             if args.resume_teacher.endswith(".pth"):
                 tp, ts, _, _ = load_pth(args.resume_teacher, tv["params"], tv.get("batch_stats", {}))
             else:
                 tmp_state = create_train_state(teacher, cfg, t_rng,
-                    {**sample, "bev": sample["bev_teacher"]}, lr=args.lr)
+                    {**sample, "bev": teacher_bev}, lr=args.lr)
                 tmp_state, _ = CheckpointIO(args.resume_teacher).restore(tmp_state)
                 tp, ts = tmp_state.params, tmp_state.batch_stats
             teacher_vars = {"params": tp, "batch_stats": ts}
@@ -172,20 +176,29 @@ def main(argv=None):
 
     train_step = make_train_step(model, cfg, teacher=teacher, kd_flag=bool(args.kd_flag))
 
+    import functools
+
+    to_device = functools.partial(shard_batch, mesh=mesh) if multi else batch_to_device
+
+    def host_batches():
+        for batch in loader:
+            if not args.kd_flag:  # skip the dead host->device copy
+                batch.pop("bev_teacher", None)
+                batch.pop("bev_teacher_packed", None)
+            yield batch
+
     step = 0
     profiler_span = None
     for epoch in range(start_epoch + 1, args.nepoch + 1):
         t_ep = time.time()
         last = {}
-        for batch in loader:
-            if not args.kd_flag:
-                batch.pop("bev_teacher", None)  # skip the dead host->device copy
+        # transfers for batch n+1 are issued while step n executes
+        for dev_batch in prefetch_to_device(host_batches(), to_device):
             if args.profile and step == 2:  # past compile: steady state
                 from disconet_tpu.utils.profiling import trace
 
                 profiler_span = trace(os.path.join(logdir, "profile"))
                 profiler_span.__enter__()
-            dev_batch = shard_batch(batch, mesh) if multi else batch_to_device(batch)
             state, metrics = train_step(state, dev_batch, teacher_vars)
             step += 1
             if profiler_span is not None and step == 2 + args.profile:

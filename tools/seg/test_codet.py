@@ -60,10 +60,9 @@ def main(argv=None):
     predict = make_seg_predict_step(model, cfg)
     preds, labels, masks = [], [], []
     for batch in loader:
-        if batch["bev"].shape[0] != args.batch:
+        if batch["agent_mask"].shape[0] != args.batch:
             continue  # drop ragged tail (tiny eval sets should use batch=1)
-        pr = np.asarray(jax.device_get(predict(state, {**batch_to_device(batch),
-                        "seg_label": jax.numpy.asarray(batch["seg_label"])})))
+        pr = np.asarray(jax.device_get(predict(state, batch_to_device(batch))))
         m = batch["agent_mask"][:, :, None, None]
         preds.append(pr)
         labels.append(batch["seg_label"])

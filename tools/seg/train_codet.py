@@ -84,8 +84,7 @@ def main(argv=None):
     for epoch in range(start_epoch + 1, args.nepoch + 1):
         t0 = time.time()
         for batch in loader:
-            dev = batch_to_device(batch)
-            dev["seg_label"] = jax.numpy.asarray(batch["seg_label"])
+            dev = batch_to_device(batch)  # ships seg_label + bit-packed bev
             state, metrics = train_step(state, dev)
             step += 1
             if step % args.log_every == 0:
