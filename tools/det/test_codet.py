@@ -100,26 +100,42 @@ def main(argv=None):
     gts = defaultdict(list)
     track_rows = defaultdict(list)  # (agent, scene) -> rows
 
-    n_frames = 0
-    for batch in loader:
-        if batch["agent_mask"].shape[0] != args.batch:  # static-shape jit: pad last batch
-            pad = args.batch - batch["agent_mask"].shape[0]
-            for k, v in list(batch.items()):
-                if k == "gt_boxes":
-                    batch[k] = v + [[np.zeros((0, 5), np.float32)] * cfg.max_agents] * pad
-                else:
-                    batch[k] = np.concatenate(
-                        [v, np.repeat(np.zeros_like(v[-1:]), pad, axis=0)]
-                    )
-        if args.pose_noise_std > 0 or args.pose_noise_rot_std > 0:
-            from disconet_tpu.utils.pose_noise import perturb_trans
+    def prepared_batches():
+        for batch in loader:
+            if batch["agent_mask"].shape[0] != args.batch:  # static-shape jit: pad last batch
+                pad = args.batch - batch["agent_mask"].shape[0]
+                for k, v in list(batch.items()):
+                    if k == "gt_boxes":
+                        batch[k] = v + [[np.zeros((0, 5), np.float32)] * cfg.max_agents] * pad
+                    else:
+                        batch[k] = np.concatenate(
+                            [v, np.repeat(np.zeros_like(v[-1:]), pad, axis=0)]
+                        )
+            if args.pose_noise_std > 0 or args.pose_noise_rot_std > 0:
+                from disconet_tpu.utils.pose_noise import perturb_trans
 
-            noise_rng = getattr(main, "_noise_rng", None) or np.random.default_rng(args.seed)
-            main._noise_rng = noise_rng
-            batch["trans"] = perturb_trans(
-                batch["trans"], args.pose_noise_std, args.pose_noise_rot_std, noise_rng
-            )
-        boxes, scores, keep = jax.device_get(predict(state, batch_to_device(batch)))
+                noise_rng = getattr(main, "_noise_rng", None) or np.random.default_rng(args.seed)
+                main._noise_rng = noise_rng
+                batch["trans"] = perturb_trans(
+                    batch["trans"], args.pose_noise_std, args.pose_noise_rot_std, noise_rng
+                )
+            yield batch
+
+    def predictions():
+        """One-deep pipeline: batch n+1's predict is dispatched (async) before
+        batch n's outputs are fetched, overlapping the device forward+NMS with
+        the host-side mAP/late-fusion/track processing below."""
+        pending = None
+        for batch in prepared_batches():
+            fut = predict(state, batch_to_device(batch))
+            if pending is not None:
+                yield pending[0], jax.device_get(pending[1])
+            pending = (batch, fut)
+        if pending is not None:
+            yield pending[0], jax.device_get(pending[1])
+
+    n_frames = 0
+    for batch, (boxes, scores, keep) in predictions():
         B = int(np.sum(np.any(batch["agent_mask"], axis=1)))
         for b in range(B):
             scene, frame = (int(x) for x in batch["scene_frame"][b])
