@@ -77,6 +77,8 @@ def test_seg_cli_cycle(data_root, tmp_path):
     logs = str(tmp_path / "logs_seg")
     _run(["tools/seg/train_codet.py", "--data", data_root, "--grid", "32",
           "--batch", "2", "--nepoch", "1", "--logpath", logs, "--log_every", "1"])
+    # batch 2 over 3 frames: last batch is padded (all-False agent_mask rows)
     out = _run(["tools/seg/test_codet.py", "--data", data_root, "--grid", "32",
+                "--batch", "2",
                 "--resume", os.path.join(logs, "lowerbound_seg", "ckpt")])
     assert "mIoU" in out

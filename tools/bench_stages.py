@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Per-stage breakdown of the bench.py e2e pipeline (profiling aid, SURVEY.md §5.2).
+
+Times cumulative prefixes of the inference pipeline on the flagship DiscoNet —
+voxelize | +encode | +warp/fuse | +decode+heads | +NMS — each as its own jitted
+graph with a scalar-checksum fetch (the only reliable execution barrier over
+the axon tunnel, see bench.py). Per-stage cost = difference of neighbors;
+prefixes share the cached compile across runs.
+
+Usage: python tools/bench_stages.py  (BENCH_BATCH=16 by default, as bench.py)
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from disconet_tpu.utils.env import setup as _env_setup
+
+_env_setup()
+
+import numpy as np
+
+BATCH = int(os.environ.get("BENCH_BATCH", "16"))
+AGENTS = 6
+POINTS = 16384
+WARMUP = 2
+ITERS = 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from disconet_tpu.config import Config
+    from disconet_tpu.models import build_model
+    from disconet_tpu.models.base import agents_to_batch, batch_to_agents, warp_all_pairs
+    from disconet_tpu.ops.boxes import make_anchors
+    from disconet_tpu.ops.nms import foreground_scores, rotated_nms_decode
+    from disconet_tpu.ops.voxelize import voxelize_occupy_jax
+    from __graft_entry__ import _example_batch
+
+    cfg = Config()
+    model = build_model("disco", cfg)
+    _, trans, mask = _example_batch(cfg, BATCH, AGENTS)
+
+    rng = np.random.default_rng(0)
+    (x_lo, x_hi), (y_lo, y_hi), (z_lo, z_hi) = cfg.area_extents
+    pts = rng.uniform(
+        [x_lo, y_lo, z_lo], [x_hi, y_hi, z_hi], size=(BATCH, AGENTS, POINTS, 3)
+    ).astype(np.float32)
+
+    bev0 = voxelize_occupy_jax(jnp.asarray(pts[0, 0]), cfg.voxel_size, cfg.area_extents)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((BATCH, AGENTS) + bev0.shape, jnp.float32),
+        jnp.asarray(trans),
+        jnp.asarray(mask),
+    )
+    anchors = make_anchors(cfg)
+    nms = functools.partial(
+        rotated_nms_decode,
+        anchors=jnp.asarray(anchors),
+        iou_threshold=cfg.nms_iou_threshold,
+        score_threshold=cfg.score_threshold,
+        top_k=cfg.nms_top_k,
+    )
+
+    def checksum(*arrays):
+        return sum(jnp.sum(a.astype(jnp.float32)) for a in arrays)
+
+    # stage bodies mirror IntermediateFusionModel.__call__ (models/base.py) via
+    # model.bind so the per-stage graphs use the same submodules as bench.py
+    def stages(variables, pts, trans, mask, upto):
+        bev = voxelize_occupy_jax(pts, cfg.voxel_size, cfg.area_extents)
+        if upto == 0:
+            return checksum(bev)
+        m = model.bind(variables)
+        B, A = bev.shape[0], bev.shape[1]
+        x = agents_to_batch(bev.astype(jnp.float32))
+        feats = m.stpn.encode(x, False)
+        if upto == 1:
+            return checksum(feats[-1])
+        k = model.layer
+        fk = batch_to_agents(feats[k], B, A)
+        warped = warp_all_pairs(fk, trans, cfg.area_extents[:2])
+        fused = m.fuse(fk, warped, mask, False, trans=trans)
+        if upto == 2:
+            return checksum(fused)
+        feats = list(feats)
+        feats[k] = agents_to_batch(fused)
+        head_in, _ = m.stpn.decode(feats, False)
+        cls, reg = m.heads(head_in)
+        if upto == 3:
+            return checksum(cls, reg)
+        cls = batch_to_agents(cls, B, A)
+        reg = batch_to_agents(reg, B, A)
+        scores = foreground_scores(cls).reshape((B * A,) + cls.shape[2:-1])
+        deltas = reg.reshape((B * A,) + reg.shape[2:]).astype(jnp.float32)
+        b, s, keep = jax.vmap(nms)(deltas, scores)
+        return checksum(b, s, keep)
+
+    names = ["voxelize", "+encode", "+warp/fuse", "+decode/heads", "+nms"]
+    args = (variables, jnp.asarray(pts), jnp.asarray(trans), jnp.asarray(mask))
+    cum = []
+    for upto, name in enumerate(names):
+        fn = jax.jit(functools.partial(stages, upto=upto))
+        for _ in range(WARMUP):
+            float(fn(*args))
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out = fn(*args)
+        float(out)  # FIFO queue: syncs all ITERS executions
+        dt = (time.perf_counter() - t0) / ITERS
+        cum.append(dt)
+        print(f"{name:>14}: cumulative {dt * 1e3:8.2f} ms", flush=True)
+
+    report = {}
+    prev = 0.0
+    for name, c in zip(names, cum):
+        report[name] = round((c - prev) * 1e3, 2)
+        prev = c
+    report["total_ms"] = round(cum[-1] * 1e3, 2)
+    report["scenes_per_sec"] = round(BATCH / cum[-1], 1)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

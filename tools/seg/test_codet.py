@@ -58,12 +58,31 @@ def main(argv=None):
         print("WARNING: evaluating a randomly initialized model")
 
     predict = make_seg_predict_step(model, cfg)
+
+    def prepared_batches():
+        for batch in loader:
+            if batch["agent_mask"].shape[0] != args.batch:  # static-shape jit: pad last batch
+                pad = args.batch - batch["agent_mask"].shape[0]
+                for k, v in list(batch.items()):
+                    batch[k] = np.concatenate(
+                        [v, np.repeat(np.zeros_like(v[-1:]), pad, axis=0)]
+                    )
+            yield batch
+
+    def predictions():
+        # One-deep pipeline: dispatch batch n+1 before fetching batch n (see det CLI).
+        pending = None
+        for batch in prepared_batches():
+            fut = predict(state, batch_to_device(batch))
+            if pending is not None:
+                yield pending[0], np.asarray(jax.device_get(pending[1]))
+            pending = (batch, fut)
+        if pending is not None:
+            yield pending[0], np.asarray(jax.device_get(pending[1]))
+
     preds, labels, masks = [], [], []
-    for batch in loader:
-        if batch["agent_mask"].shape[0] != args.batch:
-            continue  # drop ragged tail (tiny eval sets should use batch=1)
-        pr = np.asarray(jax.device_get(predict(state, batch_to_device(batch))))
-        m = batch["agent_mask"][:, :, None, None]
+    for batch, pr in predictions():
+        m = batch["agent_mask"][:, :, None, None]  # padded rows are all-False → excluded
         preds.append(pr)
         labels.append(batch["seg_label"])
         masks.append(np.broadcast_to(m, pr.shape))
