@@ -51,7 +51,7 @@ def main():
     from disconet_tpu.config import Config
     from disconet_tpu.models import build_model
     from disconet_tpu.ops.boxes import make_anchors
-    from disconet_tpu.ops.nms import foreground_scores, rotated_nms_decode
+    from disconet_tpu.ops.nms import rotated_nms_decode
     from disconet_tpu.ops.voxelize import voxelize_occupy_jax
     from __graft_entry__ import _example_batch
 
@@ -93,9 +93,12 @@ def main():
         bev = voxelize_occupy_jax(pts, cfg.voxel_size, cfg.area_extents)
         out = model.apply(variables, bev, trans, mask, train=False)
         B, A = out["cls"].shape[:2]
-        # leading-dim merges only; spatial layout preserved (no big relayouts)
-        scores = foreground_scores(out["cls"]).reshape((B * A,) + out["cls"].shape[2:-1])
-        deltas = out["reg"].reshape((B * A,) + out["reg"].shape[2:]).astype(jnp.float32)
+        # packed head layout (training/det_module.py predict fast path): scores
+        # from contiguous lane slices, reg split per-anchor on winners only
+        NA = cfg.num_anchors
+        raw = out["head_raw"].reshape((B * A,) + out["head_raw"].shape[2:])
+        scores = jax.nn.sigmoid(raw[..., NA : 2 * NA] - raw[..., :NA])
+        deltas = raw[..., 2 * NA :]
         b, s, keep = jax.vmap(nms)(deltas, scores)
         # scalar checksum: fetching it to host is the only reliable execution
         # barrier here (the axon tunnel's block_until_ready returns before the

@@ -154,10 +154,13 @@ class IntermediateFusionModel(nn.Module):
         feats[k] = agents_to_batch(fused)
         head_in, kd_feats = self.stpn.decode(feats, train)
         if self.task == "det":
-            cls, reg = self.heads(head_in)
+            cls, reg, raw = self.heads(head_in)
             out = {
                 "cls": batch_to_agents(cls, B, A),
                 "reg": batch_to_agents(reg, B, A),
+                # packed class-major head output in the conv's natural channel
+                # layout — the fast path for predict (see DetectionHeads)
+                "head_raw": batch_to_agents(raw, B, A),
             }
         else:
             out = {"seg": batch_to_agents(self.seg_head(head_in), B, A)}

@@ -168,11 +168,14 @@ def rotated_nms_decode(
     geometry N ≈ 400k anchors/frame and the dense decode pass dominated the
     end-to-end pipeline (24.6 of 114.8 ms at batch 16 on v5e).
 
-    Two input layouts:
-      * spatial (preferred): deltas (H, W, A, code), scores (H, W, A), anchors
+    Three input layouts:
+      * packed spatial (fastest): deltas (H, W, A*code) — the raw head output
+        channel layout — with scores (H, W, A), anchors (H, W, A, 5). The
+        per-anchor split happens only on the K winners, so the ~400k-anchor
+        reg tensor is never relayouted out of its conv-native channel dim.
+      * spatial: deltas (H, W, A, code), scores (H, W, A), anchors
         (H, W, A, 5) — candidate selection runs the two-level top-k of
-        :func:`_select_candidates_spatial` and all gathers stay in the natural
-        head-output layout, so the ~400k-anchor tensors are never relayouted.
+        :func:`_select_candidates_spatial` in the natural layout.
       * flat: deltas (N, code), scores (N,), anchors (N, 5).
 
     Returns: same fixed-size (boxes, scores, keep) triple as :func:`rotated_nms`.
@@ -181,7 +184,13 @@ def rotated_nms_decode(
         top_scores, (h, w, a) = _select_candidates_spatial(
             scores, score_threshold, top_k, exact_top_k
         )
-        top_boxes = decode_boxes(deltas[h, w, a], anchors[h, w, a])
+        if deltas.ndim == 3:  # packed (H, W, A*code): split winners only
+            A = scores.shape[-1]
+            rows = deltas[h, w].reshape(h.shape[0], A, deltas.shape[-1] // A)
+            d = jnp.take_along_axis(rows, a[:, None, None], axis=1)[:, 0]
+        else:
+            d = deltas[h, w, a]
+        top_boxes = decode_boxes(d, anchors[h, w, a])
     else:
         top_scores, idx, _ = _select_candidates(scores, score_threshold, top_k, exact_top_k)
         top_boxes = decode_boxes(deltas[idx], anchors[idx])

@@ -229,10 +229,20 @@ def make_predict_step(model, config: Config) -> Callable:
             train=False,
         )
         B, A = out["cls"].shape[:2]
-        # leading-dim merges only — the (H, W, A[, code]) layout is preserved so
-        # candidate selection/gather never relayouts the ~400k-anchor tensors
-        scores = foreground_scores(out["cls"]).reshape((B * A,) + out["cls"].shape[2:-1])
-        deltas = out["reg"].reshape((B * A,) + out["reg"].shape[2:]).astype(jnp.float32)
+        NA = config.num_anchors
+        if "head_raw" in out and config.num_classes == 2:
+            # fast path: stay in the conv-native packed channel layout
+            # (class-major cls block, see models/backbone.py DetectionHeads) —
+            # scores are a diff of contiguous lane slices and the reg block is
+            # split per-anchor only for the K winners inside the NMS
+            raw = out["head_raw"].reshape((B * A,) + out["head_raw"].shape[2:])
+            scores = jax.nn.sigmoid(raw[..., NA : 2 * NA] - raw[..., :NA])
+            deltas = raw[..., 2 * NA :]
+        else:
+            # leading-dim merges only — the (H, W, A[, code]) layout is kept so
+            # candidate selection/gather never relayouts the ~400k-anchor tensors
+            scores = foreground_scores(out["cls"]).reshape((B * A,) + out["cls"].shape[2:-1])
+            deltas = out["reg"].reshape((B * A,) + out["reg"].shape[2:]).astype(jnp.float32)
 
         # top-k first, decode only the K winners (not all ~400k anchors/frame)
         nms = functools.partial(

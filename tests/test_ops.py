@@ -201,6 +201,53 @@ class TestNMS:
         )
         np.testing.assert_array_equal(np.asarray(k_s), np.asarray(k_f))
 
+    def test_packed_decode_matches_spatial(self):
+        """Packed (H, W, A*code) deltas == spatial (H, W, A, code) deltas.
+
+        The packed layout is the raw head-output channel order (reg block
+        anchor-major); winner rows are split per-anchor inside the NMS."""
+        from disconet_tpu.ops.nms import rotated_nms_decode
+
+        rng = np.random.default_rng(13)
+        H, W, A = 8, 8, 6
+        anchors = _random_boxes(H * W * A, rng, spread=30.0).reshape(H, W, A, 5)
+        deltas = rng.normal(0, 0.3, size=(H, W, A, 6)).astype(np.float32)
+        scores = rng.uniform(0, 1, size=(H, W, A)).astype(np.float32)
+
+        kw = dict(iou_threshold=0.3, score_threshold=0.2, top_k=64, exact_top_k=True)
+        b_s, s_s, k_s = rotated_nms_decode(
+            jnp.asarray(deltas), jnp.asarray(scores), jnp.asarray(anchors), **kw
+        )
+        b_p, s_p, k_p = rotated_nms_decode(
+            jnp.asarray(deltas.reshape(H, W, A * 6)), jnp.asarray(scores),
+            jnp.asarray(anchors), **kw
+        )
+        np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_s), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(b_p), np.asarray(b_s), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(k_p), np.asarray(k_s))
+
+    def test_heads_raw_matches_logical_views(self):
+        """DetectionHeads raw packed output == its logical (cls, reg) views."""
+        from disconet_tpu.models.backbone import DetectionHeads
+
+        rng = np.random.default_rng(21)
+        heads = DetectionHeads(num_anchors=6, num_classes=2, box_code_size=6)
+        x = jnp.asarray(rng.standard_normal((2, 8, 8, 32)).astype(np.float32))
+        variables = heads.init(jax.random.PRNGKey(0), x)
+        cls, reg, raw = heads.apply(variables, x)
+        NA = 6
+        # class-major cls block: raw[..., c*NA + a] == cls[..., a, c]
+        np.testing.assert_allclose(
+            np.asarray(raw[..., :NA]), np.asarray(cls[..., 0]), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(raw[..., NA : 2 * NA]), np.asarray(cls[..., 1]), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(raw[..., 2 * NA :].reshape(2, 8, 8, 6, 6)),
+            np.asarray(reg), atol=1e-6,
+        )
+
     def test_foreground_scores_matches_softmax(self):
         from disconet_tpu.ops.nms import foreground_scores
 
