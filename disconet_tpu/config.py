@@ -90,6 +90,17 @@ class Config:
     # Compute dtype for the conv stack (bf16 matmuls, fp32 accum/params).
     compute_dtype: str = "bfloat16"
 
+    # Run backbone stage 0 + decoder stage 0 in 2x2 block space (exact
+    # space-to-depth conv rewrite, ops/blockspace.py): the narrow 32-channel
+    # convs at full resolution otherwise cap at 1/4 MXU lane utilization.
+    # Pure runtime layout choice — params/checkpoints are identical either way.
+    # Measured on v5e at the reference geometry: raises achieved TFLOP/s
+    # (40 -> 62) but the 4x structured-zero FLOPs of the 3x3 block kernels plus
+    # the input space-to-depth cost MORE wall time than the lane win saves
+    # (196 -> 180 scenes/s e2e), so the default stays natural layout. Flip on
+    # for geometries where the narrow stages dominate harder.
+    block_space: bool = False
+
     # Segmentation (SURVEY.md C3): ~8 BEV semantic classes.
     num_seg_classes: int = 8
 

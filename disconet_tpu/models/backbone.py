@@ -33,7 +33,20 @@ def _dtype(name: str):
 
 
 class ConvBNRelu(nn.Module):
-    """3x3 (or kxk) conv -> BatchNorm -> ReLU, bf16 matmul / fp32 statistics."""
+    """3x3 (or kxk) conv -> BatchNorm -> ReLU, bf16 matmul / fp32 statistics.
+
+    ``mode`` selects the layout (ops/blockspace.py, exact rewrites):
+      * 'natural'          — plain SAME conv on (B, H, W, Cin);
+      * 'block'            — stride-1 conv in 2x2 block space
+                             (B, H/2, W/2, 4Cin) -> (B, H/2, W/2, 4*features);
+      * 'block_to_natural' — the stride-2 stage-transition conv consuming block
+                             space and emitting natural half-res.
+    Params are canonical (k, k, Cin, features) in every mode, so block space is
+    a pure runtime layout choice — checkpoints are mode-independent. BatchNorm
+    in block mode reduces over the (4, C)-reshaped tile axis, which reproduces
+    the natural per-channel statistics exactly (the 4 block offsets partition
+    the pixels); stats/params stay (C,)-shaped.
+    """
 
     features: int
     kernel: int = 3
@@ -41,52 +54,93 @@ class ConvBNRelu(nn.Module):
     dtype: str = "bfloat16"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding="SAME",
-            use_bias=False,
-            dtype=_dtype(self.dtype),
-            param_dtype=jnp.float32,
-        )(x)
+    def __call__(self, x: jnp.ndarray, train: bool = False, mode: str = "natural") -> jnp.ndarray:
+        from disconet_tpu.ops.blockspace import conv_block_s1, conv_block_s2
+
+        cdt = _dtype(self.dtype)
+        cin = x.shape[-1] // (4 if mode in ("block", "block_to_natural") else 1)
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel, self.kernel, cin, self.features),
+            jnp.float32,
+        )
+        xc, wc = x.astype(cdt), w.astype(cdt)
+        if mode == "block":
+            assert self.stride == 1 and self.kernel == 3
+            x = conv_block_s1(xc, wc)
+        elif mode == "block_to_natural":
+            assert self.stride == 2 and self.kernel == 3
+            x = conv_block_s2(xc, wc)
+        else:
+            x = jax.lax.conv_general_dilated(
+                xc,
+                wc,
+                (self.stride, self.stride),
+                "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         # momentum 0.9 = torch BatchNorm2d default (momentum=0.1 decay); flax's
         # 0.99 default leaves running stats stale for 100-epoch runs — stale
         # stats put eval-mode detections in the wrong place entirely
-        x = nn.BatchNorm(
+        bn = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
             dtype=jnp.float32,
             param_dtype=jnp.float32,
-        )(x.astype(jnp.float32))
+        )
+        if mode == "block":
+            B, P, Q, C4 = x.shape
+            x = bn(x.astype(jnp.float32).reshape(B, P, Q, 4, self.features))
+            x = x.reshape(B, P, Q, C4)
+        else:
+            x = bn(x.astype(jnp.float32))
         return nn.relu(x)
 
 
 class _EncoderStage(nn.Module):
+    """Two ConvBNRelu; ``mode`` applies to both convs. For the stage after a
+    block-space stage, ``transition=True`` makes the first (stride-2) conv
+    consume block space and emit natural half-res."""
+
     features: int
     stride: int
     dtype: str
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        x = ConvBNRelu(self.features, stride=self.stride, dtype=self.dtype)(x, train)
-        x = ConvBNRelu(self.features, dtype=self.dtype)(x, train)
+    def __call__(self, x, train: bool = False, mode: str = "natural", transition: bool = False):
+        first = "block_to_natural" if transition else mode
+        x = ConvBNRelu(self.features, stride=self.stride, dtype=self.dtype)(x, train, mode=first)
+        x = ConvBNRelu(self.features, dtype=self.dtype)(x, train, mode="natural" if transition else mode)
         return x
 
 
 class _DecoderStage(nn.Module):
-    """Upsample 2x, concat skip, two ConvBNRelu."""
+    """Upsample 2x, concat skip, two ConvBNRelu.
+
+    In block mode the skip is already in block space and the 2x nearest
+    upsample of ``x`` is a pure channel broadcast (every pixel of an upsampled
+    block is the same source pixel), so nothing is materialized at full res;
+    the convs then run in block space. Output stays in block space — the
+    caller d2s-es once before the head conv.
+    """
 
     features: int
     dtype: str
 
     @nn.compact
-    def __call__(self, x, skip, train: bool = False):
-        x = upsample2x(x)
-        x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
-        x = ConvBNRelu(self.features, dtype=self.dtype)(x, train)
-        x = ConvBNRelu(self.features, dtype=self.dtype)(x, train)
+    def __call__(self, x, skip, train: bool = False, mode: str = "natural"):
+        if mode == "block":
+            B, P, Q, Cx = x.shape
+            Cs = skip.shape[-1] // 4
+            xb = jnp.broadcast_to(x[..., None, :], (B, P, Q, 4, Cx))
+            sb = skip.astype(x.dtype).reshape(B, P, Q, 4, Cs)
+            x = jnp.concatenate([xb, sb], axis=-1).reshape(B, P, Q, 4 * (Cx + Cs))
+        else:
+            x = upsample2x(x)
+            x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+        x = ConvBNRelu(self.features, dtype=self.dtype)(x, train, mode=mode)
+        x = ConvBNRelu(self.features, dtype=self.dtype)(x, train, mode=mode)
         return x
 
 
@@ -108,6 +162,10 @@ class STPN(nn.Module):
     channels: Sequence[int] = (32, 64, 128, 256, 512)
     head_channels: int = 128
     dtype: str = "bfloat16"
+    # run stage 0 (and the matching decoder stage) in 2x2 block space — an
+    # exact rewrite (ops/blockspace.py) that lifts the narrow 256^2 convs off
+    # the MXU's 32-lane ceiling; feats[0] is then block-shaped internally
+    block_space: bool = False
 
     def setup(self):
         self.stages = [
@@ -122,11 +180,23 @@ class STPN(nn.Module):
         self.head_conv = ConvBNRelu(self.head_channels, dtype=self.dtype)
 
     def encode(self, x: jnp.ndarray, train: bool = False, upto: int | None = None):
-        """Run encoder stages 0..upto (inclusive); returns list of stage outputs."""
+        """Run encoder stages 0..upto (inclusive); returns list of stage outputs.
+
+        With ``block_space``, the input is space-to-depth'ed once, stage 0 runs
+        in block space (feats[0] is (B, H/2, W/2, 4*C0)), and stage 1's first
+        stride-2 conv consumes block space directly — no d2s on the hot path.
+        """
+        from disconet_tpu.ops.blockspace import space_to_depth
+
         feats = []
         n = len(self.stages) if upto is None else upto + 1
         for i in range(n):
-            x = self.stages[i](x, train)
+            if self.block_space and i == 0:
+                x = self.stages[0](space_to_depth(x), train, mode="block")
+            elif self.block_space and i == 1:
+                x = self.stages[1](x, train, transition=True)
+            else:
+                x = self.stages[i](x, train)
             feats.append(x)
         return feats
 
@@ -136,10 +206,15 @@ class STPN(nn.Module):
         kd features are the decoder outputs coarse->fine plus the head input —
         the per-pixel distillation targets (SURVEY.md §4.3).
         """
+        from disconet_tpu.ops.blockspace import depth_to_space
+
         x = feats[-1]
         kd_feats = []
         for i in reversed(range(len(self.dec))):
-            x = self.dec[i](x, feats[i], train)
+            if self.block_space and i == 0:
+                x = depth_to_space(self.dec[0](x, feats[0], train, mode="block"))
+            else:
+                x = self.dec[i](x, feats[i], train)
             kd_feats.append(x)
         head_in = self.head_conv(x, train)
         kd_feats.append(head_in)
@@ -213,8 +288,15 @@ class SegHead(nn.Module):
         )
 
 
-def make_stpn(config: Config) -> STPN:
-    return STPN(channels=tuple(config.backbone_channels), head_channels=config.head_channels, dtype=config.compute_dtype)
+def make_stpn(config: Config, allow_block: bool = True) -> STPN:
+    """``allow_block=False`` forces natural layout (e.g. fusion at layer 0,
+    where the fused feature map must be spatially addressable)."""
+    return STPN(
+        channels=tuple(config.backbone_channels),
+        head_channels=config.head_channels,
+        dtype=config.compute_dtype,
+        block_space=allow_block and getattr(config, "block_space", False),
+    )
 
 
 def make_heads(config: Config) -> DetectionHeads:

@@ -110,7 +110,9 @@ class IntermediateFusionModel(nn.Module):
     task: str = "det"  # 'det' (cls+reg heads) or 'seg' (per-cell classes, C19)
 
     def setup(self):
-        self.stpn = make_stpn(self.config)
+        # fusion at layer 0 would have to address the fused map spatially, so
+        # the block-space stage-0 rewrite is disabled there (backbone.py)
+        self.stpn = make_stpn(self.config, allow_block=self.layer != 0)
         if self.task == "det":
             self.heads = make_heads(self.config)
         else:

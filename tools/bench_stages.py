@@ -77,6 +77,8 @@ def main():
     # stage bodies mirror IntermediateFusionModel.__call__ (models/base.py) via
     # model.bind so the per-stage graphs use the same submodules as bench.py
     def stages(variables, pts, trans, mask, upto):
+        if upto == -1:  # overhead floor: dispatch + checksum fetch, ~no compute
+            return checksum(mask)
         bev = voxelize_occupy_jax(pts, cfg.voxel_size, cfg.area_extents)
         if upto == 0:
             return checksum(bev)
@@ -95,20 +97,33 @@ def main():
         feats = list(feats)
         feats[k] = agents_to_batch(fused)
         head_in, _ = m.stpn.decode(feats, False)
-        cls, reg = m.heads(head_in)
+        _, _, raw = m.heads(head_in)
         if upto == 3:
-            return checksum(cls, reg)
-        cls = batch_to_agents(cls, B, A)
-        reg = batch_to_agents(reg, B, A)
-        scores = foreground_scores(cls).reshape((B * A,) + cls.shape[2:-1])
-        deltas = reg.reshape((B * A,) + reg.shape[2:]).astype(jnp.float32)
+            return checksum(raw)
+        # packed fast path (training/det_module.py predict)
+        NA = cfg.num_anchors
+        scores = jax.nn.sigmoid(raw[..., NA : 2 * NA] - raw[..., :NA])
+        deltas = raw[..., 2 * NA :]
+        if upto == 4:  # candidate selection + winner decode, no suppression
+            from disconet_tpu.ops.boxes import decode_boxes
+            from disconet_tpu.ops.nms import _select_candidates_spatial
+
+            def cand(d, sc):
+                vals, (h, w, a) = _select_candidates_spatial(
+                    sc, cfg.score_threshold, cfg.nms_top_k, False
+                )
+                rows = d[h, w].reshape(-1, NA, d.shape[-1] // NA)
+                dd = jnp.take_along_axis(rows, a[:, None, None], axis=1)[:, 0]
+                return checksum(decode_boxes(dd, jnp.asarray(anchors)[h, w, a]), vals)
+
+            return jnp.sum(jax.vmap(cand)(deltas, scores))
         b, s, keep = jax.vmap(nms)(deltas, scores)
         return checksum(b, s, keep)
 
-    names = ["voxelize", "+encode", "+warp/fuse", "+decode/heads", "+nms"]
+    names = ["null", "voxelize", "+encode", "+warp/fuse", "+decode/heads", "+cand/decode", "+nms"]
     args = (variables, jnp.asarray(pts), jnp.asarray(trans), jnp.asarray(mask))
     cum = []
-    for upto, name in enumerate(names):
+    for upto, name in enumerate(names, start=-1):
         fn = jax.jit(functools.partial(stages, upto=upto))
         for _ in range(WARMUP):
             float(fn(*args))
