@@ -7,3 +7,8 @@ from disconet_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
     replicate_tree,
 )
+from disconet_tpu.parallel.spatial import (  # noqa: F401
+    conv2d_spatial_sharded,
+    halo_exchange,
+    sharded_conv_fn,
+)

@@ -83,3 +83,58 @@ def test_batch_sharding_spec():
     assert batch_sharding(mesh).spec == jax.sharding.PartitionSpec("data")
     mesh2 = make_mesh(n_data=4, n_agent=2)
     assert batch_sharding(mesh2).spec == jax.sharding.PartitionSpec("data", "agent")
+
+
+class TestSpatialSharding:
+    """Halo-exchange spatial sharding (parallel/spatial.py, SURVEY.md §5.7)."""
+
+    def _mesh(self, n=4):
+        from jax.sharding import Mesh
+
+        return Mesh(np.array(jax.devices()[:n]), ("spatial",))
+
+    def test_sharded_conv_matches_unsharded(self):
+        from disconet_tpu.parallel.spatial import sharded_conv_fn
+
+        rng = np.random.default_rng(5)
+        x = jax.numpy.asarray(rng.standard_normal((32, 16, 3)).astype(np.float32))
+        w = jax.numpy.asarray(rng.standard_normal((3, 3, 3, 4)).astype(np.float32) * 0.1)
+        want = jax.lax.conv_general_dilated(
+            x[None], w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )[0]
+        got = sharded_conv_fn(self._mesh())(x, w)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    def test_sharded_conv_5x5_halo2(self):
+        from disconet_tpu.parallel.spatial import sharded_conv_fn
+
+        rng = np.random.default_rng(6)
+        x = jax.numpy.asarray(rng.standard_normal((24, 8, 2)).astype(np.float32))
+        w = jax.numpy.asarray(rng.standard_normal((5, 5, 2, 3)).astype(np.float32) * 0.1)
+        want = jax.lax.conv_general_dilated(
+            x[None], w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )[0]
+        got = sharded_conv_fn(self._mesh())(x, w)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    def test_halo_exchange_boundaries(self):
+        # global edge shards must see zero halos, interior shards their neighbors
+        from functools import partial
+
+        from jax.sharding import PartitionSpec as P
+
+        from disconet_tpu.parallel.spatial import halo_exchange
+
+        mesh = self._mesh()
+        x = jax.numpy.arange(8.0 * 2).reshape(8, 2, 1)
+
+        fn = jax.jit(
+            partial(jax.shard_map, mesh=mesh, in_specs=P("spatial"), out_specs=P("spatial"))(
+                lambda s: halo_exchange(s, "spatial")[None]
+            )
+        )
+        out = np.asarray(fn(x))  # (4, 4, 2, 1): per-shard padded strips
+        np.testing.assert_array_equal(out[0, 0], np.zeros((2, 1)))  # top edge
+        np.testing.assert_array_equal(out[-1, -1], np.zeros((2, 1)))  # bottom edge
+        np.testing.assert_array_equal(out[1, 0], np.asarray(x[1]))  # shard0's last row
+        np.testing.assert_array_equal(out[1, -1], np.asarray(x[4]))  # shard2's first row
