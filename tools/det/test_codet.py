@@ -88,7 +88,16 @@ def main(argv=None):
             params, stats, epoch, _ = load_pth(args.resume, state.params, state.batch_stats)
             state = state.replace(params=params, batch_stats=stats)
         else:
-            state, epoch = CheckpointIO(args.resume).restore(state)
+            resume = args.resume
+            state, epoch = CheckpointIO(resume).restore(state)
+            if epoch is None and os.path.isdir(os.path.join(resume, "ckpt")):
+                resume = os.path.join(resume, "ckpt")  # train CLI log-dir layout
+                state, epoch = CheckpointIO(resume).restore(state)
+            if epoch is None:
+                raise SystemExit(
+                    f"no checkpoint found under {args.resume} — evaluating random "
+                    "weights would be meaningless (pass the ckpt dir or a .pth)"
+                )
         print(f"loaded checkpoint from {args.resume} (epoch {epoch})")
     else:
         print("WARNING: evaluating a randomly initialized model (--resume not given)")

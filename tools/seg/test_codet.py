@@ -52,7 +52,16 @@ def main(argv=None):
 
     state = create_seg_train_state(model, cfg, jax.random.PRNGKey(0), collate_det([dataset[0]]))
     if args.resume:
-        state, e = CheckpointIO(args.resume).restore(state)
+        resume = args.resume
+        state, e = CheckpointIO(resume).restore(state)
+        if e is None and os.path.isdir(os.path.join(resume, "ckpt")):
+            resume = os.path.join(resume, "ckpt")  # train CLI log-dir layout
+            state, e = CheckpointIO(resume).restore(state)
+        if e is None:
+            raise SystemExit(
+                f"no checkpoint found under {args.resume} — evaluating random "
+                "weights would be meaningless (pass the ckpt dir)"
+            )
         print(f"loaded epoch {e} from {args.resume}")
     else:
         print("WARNING: evaluating a randomly initialized model")
