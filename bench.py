@@ -51,7 +51,7 @@ def main():
     from disconet_tpu.config import Config
     from disconet_tpu.models import build_model
     from disconet_tpu.ops.boxes import make_anchors
-    from disconet_tpu.ops.nms import rotated_nms_decode
+    from disconet_tpu.ops.nms import packed_scores_and_deltas, rotated_nms_decode
     from disconet_tpu.ops.voxelize import voxelize_occupy_jax
     from __graft_entry__ import _example_batch
 
@@ -93,12 +93,10 @@ def main():
         bev = voxelize_occupy_jax(pts, cfg.voxel_size, cfg.area_extents)
         out = model.apply(variables, bev, trans, mask, train=False)
         B, A = out["cls"].shape[:2]
-        # packed head layout (training/det_module.py predict fast path): scores
-        # from contiguous lane slices, reg split per-anchor on winners only
-        NA = cfg.num_anchors
+        # packed head layout (ops/nms.py helper): scores from contiguous lane
+        # slices, reg split per-anchor on winners only
         raw = out["head_raw"].reshape((B * A,) + out["head_raw"].shape[2:])
-        scores = jax.nn.sigmoid(raw[..., NA : 2 * NA] - raw[..., :NA])
-        deltas = raw[..., 2 * NA :]
+        scores, deltas = packed_scores_and_deltas(raw, cfg.num_anchors)
         b, s, keep = jax.vmap(nms)(deltas, scores)
         # scalar checksum: fetching it to host is the only reliable execution
         # barrier here (the axon tunnel's block_until_ready returns before the

@@ -304,4 +304,5 @@ def make_heads(config: Config) -> DetectionHeads:
         num_anchors=config.num_anchors,
         num_classes=config.num_classes,
         box_code_size=config.box_code_size,
+        dtype=config.compute_dtype,
     )

@@ -15,9 +15,9 @@ The rewrites here are EXACT (same multiply-add set, reordered):
   (offset, tap) combination get zero weight (75% structured zeros — the MXU
   computes them, but 4x lane utilization more than pays at Cout<=32).
 * stride-2 3x3 conv  -> 2x2 conv from block space to NATURAL space (each
-  stride-2 output reads a 3x3 pixel window = a 2x2 block window), with
-  explicit (1, 0) low padding. This is how a block-space stage hands off to
-  the next (natural) encoder stage for free.
+  stride-2 output reads pixels 2p..2p+2 under XLA's SAME padding = a 2x2 block
+  window), with explicit (0, 1) high padding. This is how a block-space stage
+  hands off to the next (natural) encoder stage for free.
 
 BatchNorm in block space: reshape (..., 4C) -> (..., 4, C) and let the norm
 reduce over the extra axis — the four block offsets partition the original
@@ -130,13 +130,6 @@ def conv_block_s2(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
         ((0, 1), (0, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-
-
-def voxel_block_index(h, w, z, H: int, W: int, Z: int):
-    """Map natural voxel (h, w, z) -> block-layout (h//2, w//2, t*Z + z) indices
-    so a scatter voxelizer can emit block space at zero cost (ops/voxelize.py)."""
-    t = (h % 2) * 2 + (w % 2)
-    return h // 2, w // 2, t * Z + z
 
 
 def s2d_np(x: np.ndarray) -> np.ndarray:

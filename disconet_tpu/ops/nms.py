@@ -37,6 +37,23 @@ def foreground_scores(cls_logits: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.softmax(cls_logits, axis=-1)[..., 1]
 
 
+def packed_scores_and_deltas(raw: jnp.ndarray, num_anchors: int):
+    """Split a DetectionHeads raw packed tensor into (scores, packed deltas).
+
+    ``raw`` is (..., NA*2 + NA*code) in the class-major layout emitted by
+    models/backbone.py DetectionHeads (binary class): cls block = [all class-0
+    | all class-1] over anchors, then the anchor-major reg block. Foreground
+    score = sigmoid(l1 - l0) over two contiguous lane slices; deltas stay
+    packed for :func:`rotated_nms_decode`'s winner-only per-anchor split.
+    This is THE coupling point to the head layout — keep all consumers here.
+    """
+    NA = num_anchors
+    scores = jax.nn.sigmoid(
+        raw[..., NA : 2 * NA].astype(jnp.float32) - raw[..., :NA].astype(jnp.float32)
+    )
+    return scores, raw[..., 2 * NA :]
+
+
 def _select_candidates(scores, score_threshold, top_k, exact_top_k):
     """Static top-k candidate indices + thresholded scores (padded to top_k)."""
     n = scores.shape[0]

@@ -57,6 +57,7 @@ def conv2d_spatial_sharded(
     """SAME stride-1 conv on an H-sharded (local_H, W, Cin) strip; exact vs the
     unsharded conv. ``w`` is (kh, kw, Cin, Cout) with odd kh."""
     kh, kw = w.shape[0], w.shape[1]
+    assert kh % 2 == 1 and kw % 2 == 1, "SAME-conv equivalence needs odd kernels"
     halo = (kh - 1) // 2
     xp = halo_exchange(x, axis_name, halo=halo)
     return jax.lax.conv_general_dilated(

@@ -12,6 +12,7 @@ from disconet_tpu.training.det_module import (  # noqa: F401
 )
 from disconet_tpu.training.checkpoint import (  # noqa: F401
     CheckpointIO,
+    restore_or_die,
     save_pth,
     load_pth,
 )

@@ -82,12 +82,38 @@ class CheckpointIO:
         return state, restored["epoch"]
 
 
+def restore_or_die(path: str, state):
+    """Restore an orbax checkpoint into ``state``, accepting either the ckpt
+    directory itself or the train-CLI log dir that contains a ``ckpt/`` subdir.
+
+    Returns (state, epoch, resolved_path); raises SystemExit if nothing
+    restores — silently continuing with random weights is never what the
+    caller wants (shared by the four train/test CLIs).
+    """
+    state2, epoch = CheckpointIO(path).restore(state)
+    if epoch is None and os.path.isdir(os.path.join(path, "ckpt")):
+        path = os.path.join(path, "ckpt")
+        state2, epoch = CheckpointIO(path).restore(state)
+    if epoch is None:
+        raise SystemExit(
+            f"--resume {path}: no checkpoint found (pass the ckpt dir, the "
+            "train-CLI log dir containing it, or a .pth file)"
+        )
+    return state2, epoch, path
+
+
 # ---------------------------------------------------------------------------
 # torch .pth bridge
 # ---------------------------------------------------------------------------
 
 # (regex on the flax leaf path, torch suffix, layout transform tag)
 _KEY_RULES = (
+    # fused detection heads (models/backbone.py DetectionHeads): separate
+    # cls/reg params exported under torch-style conv module names
+    (re.compile(r"(.*)/cls_kernel$"), "cls.weight", "kernel"),
+    (re.compile(r"(.*)/cls_bias$"), "cls.bias", None),
+    (re.compile(r"(.*)/reg_kernel$"), "reg.weight", "kernel"),
+    (re.compile(r"(.*)/reg_bias$"), "reg.bias", None),
     (re.compile(r"(.*)/kernel$"), "weight", "kernel"),
     (re.compile(r"(.*)/bias$"), "bias", None),
     (re.compile(r"(.*)/scale$"), "weight", None),  # BatchNorm scale
@@ -121,7 +147,7 @@ def _to_torch_name_and_value(path: str, value: np.ndarray):
 
 
 def _from_torch_value(flax_path: str, value: np.ndarray) -> np.ndarray:
-    if flax_path.endswith("/kernel"):
+    if flax_path.endswith("kernel"):  # kernel / cls_kernel / reg_kernel
         if value.ndim == 4:  # OIHW -> HWIO
             return np.transpose(value, (2, 3, 1, 0))
         if value.ndim == 2:

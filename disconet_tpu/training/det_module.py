@@ -33,7 +33,7 @@ from disconet_tpu.config import Config
 from disconet_tpu.ops.bitpack import pack_bev_np, unpack_bev, unpack_bev_np
 from disconet_tpu.ops.boxes import make_anchors
 from disconet_tpu.ops.losses import kd_feature_loss, softmax_focal_loss, weighted_smooth_l1
-from disconet_tpu.ops.nms import foreground_scores, rotated_nms_decode
+from disconet_tpu.ops.nms import foreground_scores, packed_scores_and_deltas, rotated_nms_decode
 
 
 def get_bev(batch, key: str, config: Config):
@@ -231,13 +231,10 @@ def make_predict_step(model, config: Config) -> Callable:
         B, A = out["cls"].shape[:2]
         NA = config.num_anchors
         if "head_raw" in out and config.num_classes == 2:
-            # fast path: stay in the conv-native packed channel layout
-            # (class-major cls block, see models/backbone.py DetectionHeads) —
-            # scores are a diff of contiguous lane slices and the reg block is
-            # split per-anchor only for the K winners inside the NMS
+            # fast path: stay in the conv-native packed channel layout —
+            # no relayout of the head outputs (ops/nms.py helper)
             raw = out["head_raw"].reshape((B * A,) + out["head_raw"].shape[2:])
-            scores = jax.nn.sigmoid(raw[..., NA : 2 * NA] - raw[..., :NA])
-            deltas = raw[..., 2 * NA :]
+            scores, deltas = packed_scores_and_deltas(raw, NA)
         else:
             # leading-dim merges only — the (H, W, A[, code]) layout is kept so
             # candidate selection/gather never relayouts the ~400k-anchor tensors
@@ -296,6 +293,25 @@ def batch_to_device(batch: Dict[str, np.ndarray], sharding=None) -> Dict[str, jn
             arr, key = pack_bev_np(arr), k + "_packed"
         out[key] = jax.device_put(jnp.asarray(arr), sharding) if sharding else jnp.asarray(arr)
     return out
+
+
+def pipeline_one_deep(batches, dispatch, fetch=None):
+    """One-deep async prediction pipeline for eval CLIs.
+
+    Dispatches batch n+1's device computation before fetching batch n's
+    outputs, overlapping the device step with host-side post-processing.
+    Yields (host_batch, fetched_outputs). ``dispatch(batch) -> device futures``;
+    ``fetch`` defaults to ``jax.device_get``.
+    """
+    fetch = fetch or jax.device_get
+    pending = None
+    for b in batches:
+        fut = dispatch(b)
+        if pending is not None:
+            yield pending[0], fetch(pending[1])
+        pending = (b, fut)
+    if pending is not None:
+        yield pending[0], fetch(pending[1])
 
 
 def prefetch_to_device(batches, to_device=batch_to_device, depth: int = 2):

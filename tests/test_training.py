@@ -175,6 +175,16 @@ def test_pth_has_reference_dict_keys(tmp_path):
     # torch-conventional tensor layouts: conv weights OIHW
     any_conv = [v for k, v in ck["model_state_dict"].items() if v.ndim == 4][0]
     assert any_conv.shape[-1] == any_conv.shape[-2] == 3  # kxk last in OIHW
+    # fused heads export under torch-style conv module names in OIHW
+    sd = ck["model_state_dict"]
+    cls_w = [v for k, v in sd.items() if k.endswith("heads.cls.weight")]
+    reg_w = [v for k, v in sd.items() if k.endswith("heads.reg.weight")]
+    assert cls_w and reg_w, sorted(k for k in sd if "head" in k)
+    assert cls_w[0].shape[-2:] == (1, 1)  # (O, I, 1, 1)
+    assert cls_w[0].shape[0] == CFG.num_anchors * CFG.num_classes
+    assert reg_w[0].shape[0] == CFG.num_anchors * CFG.box_code_size
+    assert any(k.endswith("heads.cls.bias") for k in sd)
+    assert not any("cls_kernel" in k or "reg_kernel" in k for k in sd)
 
 
 def test_sharded_train_step_matches_single_device():

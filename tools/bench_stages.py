@@ -41,7 +41,7 @@ def main():
     from disconet_tpu.models import build_model
     from disconet_tpu.models.base import agents_to_batch, batch_to_agents, warp_all_pairs
     from disconet_tpu.ops.boxes import make_anchors
-    from disconet_tpu.ops.nms import foreground_scores, rotated_nms_decode
+    from disconet_tpu.ops.nms import packed_scores_and_deltas, rotated_nms_decode
     from disconet_tpu.ops.voxelize import voxelize_occupy_jax
     from __graft_entry__ import _example_batch
 
@@ -100,10 +100,9 @@ def main():
         _, _, raw = m.heads(head_in)
         if upto == 3:
             return checksum(raw)
-        # packed fast path (training/det_module.py predict)
+        # packed fast path (ops/nms.py helper)
         NA = cfg.num_anchors
-        scores = jax.nn.sigmoid(raw[..., NA : 2 * NA] - raw[..., :NA])
-        deltas = raw[..., 2 * NA :]
+        scores, deltas = packed_scores_and_deltas(raw, NA)
         if upto == 4:  # candidate selection + winner decode, no suppression
             from disconet_tpu.ops.boxes import decode_boxes
             from disconet_tpu.ops.nms import _select_candidates_spatial

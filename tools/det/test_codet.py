@@ -35,7 +35,7 @@ from disconet_tpu.data import BatchIterator, V2XSimDet
 from disconet_tpu.evaluation import eval_map
 from disconet_tpu.models import build_model
 from disconet_tpu.training import batch_to_device, create_train_state, make_predict_step
-from disconet_tpu.training.checkpoint import CheckpointIO, load_pth
+from disconet_tpu.training.checkpoint import load_pth, restore_or_die
 
 
 def parse_args(argv=None):
@@ -87,18 +87,10 @@ def main(argv=None):
         if args.resume.endswith(".pth"):
             params, stats, epoch, _ = load_pth(args.resume, state.params, state.batch_stats)
             state = state.replace(params=params, batch_stats=stats)
+            resolved = args.resume
         else:
-            resume = args.resume
-            state, epoch = CheckpointIO(resume).restore(state)
-            if epoch is None and os.path.isdir(os.path.join(resume, "ckpt")):
-                resume = os.path.join(resume, "ckpt")  # train CLI log-dir layout
-                state, epoch = CheckpointIO(resume).restore(state)
-            if epoch is None:
-                raise SystemExit(
-                    f"no checkpoint found under {args.resume} — evaluating random "
-                    "weights would be meaningless (pass the ckpt dir or a .pth)"
-                )
-        print(f"loaded checkpoint from {args.resume} (epoch {epoch})")
+            state, epoch, resolved = restore_or_die(args.resume, state)
+        print(f"loaded checkpoint from {resolved} (epoch {epoch})")
     else:
         print("WARNING: evaluating a randomly initialized model (--resume not given)")
 
@@ -130,21 +122,17 @@ def main(argv=None):
                 )
             yield batch
 
-    def predictions():
-        """One-deep pipeline: batch n+1's predict is dispatched (async) before
-        batch n's outputs are fetched, overlapping the device forward+NMS with
-        the host-side mAP/late-fusion/track processing below."""
-        pending = None
-        for batch in prepared_batches():
-            fut = predict(state, batch_to_device(batch))
-            if pending is not None:
-                yield pending[0], jax.device_get(pending[1])
-            pending = (batch, fut)
-        if pending is not None:
-            yield pending[0], jax.device_get(pending[1])
+    from disconet_tpu.training.det_module import pipeline_one_deep
+
+    # batch n+1's predict is dispatched (async) before batch n's outputs are
+    # fetched — the device forward+NMS overlaps the host-side mAP/late-fusion/
+    # track processing below
+    predictions = pipeline_one_deep(
+        prepared_batches(), lambda b: predict(state, batch_to_device(b))
+    )
 
     n_frames = 0
-    for batch, (boxes, scores, keep) in predictions():
+    for batch, (boxes, scores, keep) in predictions:
         B = int(np.sum(np.any(batch["agent_mask"], axis=1)))
         for b in range(B):
             scene, frame = (int(x) for x in batch["scene_frame"][b])

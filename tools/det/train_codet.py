@@ -99,14 +99,9 @@ def load_student_ckpt(args, state, ckpt_io):
             state = state.replace(params=params, batch_stats=stats)
             start_epoch = epoch
         else:
-            resume = args.resume
-            state, epoch = CheckpointIO(resume).restore(state)
-            if epoch is None and os.path.isdir(os.path.join(resume, "ckpt")):
-                resume = os.path.join(resume, "ckpt")  # log-dir layout
-                state, epoch = CheckpointIO(resume).restore(state)
-            if epoch is None:
-                raise SystemExit(f"--resume {args.resume}: no checkpoint found")
-            start_epoch = epoch
+            from disconet_tpu.training.checkpoint import restore_or_die
+
+            state, start_epoch, _ = restore_or_die(args.resume, state)
     elif args.auto_resume_path:
         auto_dir = os.path.join(args.auto_resume_path, mode_name(args), "ckpt")
         if os.path.isdir(auto_dir):

@@ -19,7 +19,7 @@ import numpy as np
 from disconet_tpu.config import Config, tiny_config
 from disconet_tpu.data import BatchIterator, V2XSimSeg
 from disconet_tpu.models import build_model
-from disconet_tpu.training import CheckpointIO, batch_to_device
+from disconet_tpu.training import batch_to_device
 from disconet_tpu.training.seg_module import (
     create_seg_train_state,
     iou_per_class,
@@ -52,17 +52,10 @@ def main(argv=None):
 
     state = create_seg_train_state(model, cfg, jax.random.PRNGKey(0), collate_det([dataset[0]]))
     if args.resume:
-        resume = args.resume
-        state, e = CheckpointIO(resume).restore(state)
-        if e is None and os.path.isdir(os.path.join(resume, "ckpt")):
-            resume = os.path.join(resume, "ckpt")  # train CLI log-dir layout
-            state, e = CheckpointIO(resume).restore(state)
-        if e is None:
-            raise SystemExit(
-                f"no checkpoint found under {args.resume} — evaluating random "
-                "weights would be meaningless (pass the ckpt dir)"
-            )
-        print(f"loaded epoch {e} from {args.resume}")
+        from disconet_tpu.training.checkpoint import restore_or_die
+
+        state, e, resolved = restore_or_die(args.resume, state)
+        print(f"loaded epoch {e} from {resolved}")
     else:
         print("WARNING: evaluating a randomly initialized model")
 
@@ -78,19 +71,16 @@ def main(argv=None):
                     )
             yield batch
 
-    def predictions():
-        # One-deep pipeline: dispatch batch n+1 before fetching batch n (see det CLI).
-        pending = None
-        for batch in prepared_batches():
-            fut = predict(state, batch_to_device(batch))
-            if pending is not None:
-                yield pending[0], np.asarray(jax.device_get(pending[1]))
-            pending = (batch, fut)
-        if pending is not None:
-            yield pending[0], np.asarray(jax.device_get(pending[1]))
+    from disconet_tpu.training.det_module import pipeline_one_deep
+
+    predictions = pipeline_one_deep(  # dispatch batch n+1 before fetching batch n
+        prepared_batches(),
+        lambda b: predict(state, batch_to_device(b)),
+        fetch=lambda fut: np.asarray(jax.device_get(fut)),
+    )
 
     preds, labels, masks = [], [], []
-    for batch, pr in predictions():
+    for batch, pr in predictions:
         m = batch["agent_mask"][:, :, None, None]  # padded rows are all-False → excluded
         preds.append(pr)
         labels.append(batch["seg_label"])

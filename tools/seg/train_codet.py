@@ -68,14 +68,9 @@ def main(argv=None):
     ckpt_io = CheckpointIO(os.path.join(logdir, "ckpt"), max_to_keep=args.ckpt_keep or None)
     start_epoch = 0
     if args.resume:
-        resume = args.resume
-        state, e = CheckpointIO(resume).restore(state)
-        if e is None and os.path.isdir(os.path.join(resume, "ckpt")):
-            resume = os.path.join(resume, "ckpt")  # log-dir layout
-            state, e = CheckpointIO(resume).restore(state)
-        if e is None:
-            raise SystemExit(f"--resume {args.resume}: no checkpoint found")
-        start_epoch = e
+        from disconet_tpu.training.checkpoint import restore_or_die
+
+        state, start_epoch, _ = restore_or_die(args.resume, state)
     elif args.auto_resume_path:
         auto = os.path.join(args.auto_resume_path, mode, "ckpt")
         if os.path.isdir(auto):
