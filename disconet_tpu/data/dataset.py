@@ -236,6 +236,24 @@ def collate_det(items: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]
     return out
 
 
+def pad_batch_to(batch: Dict[str, np.ndarray], size: int, max_agents: int) -> Dict[str, np.ndarray]:
+    """Pad a ragged tail batch to ``size`` scene-frames in place (static-shape
+    jit). Padded rows get all-zero tensors — in particular an all-False
+    ``agent_mask``, which every consumer (losses, fusion softmax, eval
+    accumulation) already excludes. ``gt_boxes`` (ragged host list) pads with
+    empty per-agent lists."""
+    have = batch["agent_mask"].shape[0]
+    if have == size:
+        return batch
+    pad = size - have
+    for k, v in list(batch.items()):
+        if k == "gt_boxes":
+            batch[k] = v + [[np.zeros((0, 5), np.float32)] * max_agents] * pad
+        else:
+            batch[k] = np.concatenate([v, np.repeat(np.zeros_like(v[-1:]), pad, axis=0)])
+    return batch
+
+
 class BatchIterator:
     """Shuffling, batching, background-prefetching iterator over a dataset.
 

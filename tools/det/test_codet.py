@@ -101,17 +101,11 @@ def main(argv=None):
     gts = defaultdict(list)
     track_rows = defaultdict(list)  # (agent, scene) -> rows
 
+    from disconet_tpu.data.dataset import pad_batch_to
+
     def prepared_batches():
         for batch in loader:
-            if batch["agent_mask"].shape[0] != args.batch:  # static-shape jit: pad last batch
-                pad = args.batch - batch["agent_mask"].shape[0]
-                for k, v in list(batch.items()):
-                    if k == "gt_boxes":
-                        batch[k] = v + [[np.zeros((0, 5), np.float32)] * cfg.max_agents] * pad
-                    else:
-                        batch[k] = np.concatenate(
-                            [v, np.repeat(np.zeros_like(v[-1:]), pad, axis=0)]
-                        )
+            pad_batch_to(batch, args.batch, cfg.max_agents)
             if args.pose_noise_std > 0 or args.pose_noise_rot_std > 0:
                 from disconet_tpu.utils.pose_noise import perturb_trans
 

@@ -61,15 +61,11 @@ def main(argv=None):
 
     predict = make_seg_predict_step(model, cfg)
 
+    from disconet_tpu.data.dataset import pad_batch_to
+
     def prepared_batches():
         for batch in loader:
-            if batch["agent_mask"].shape[0] != args.batch:  # static-shape jit: pad last batch
-                pad = args.batch - batch["agent_mask"].shape[0]
-                for k, v in list(batch.items()):
-                    batch[k] = np.concatenate(
-                        [v, np.repeat(np.zeros_like(v[-1:]), pad, axis=0)]
-                    )
-            yield batch
+            yield pad_batch_to(batch, args.batch, cfg.max_agents)
 
     from disconet_tpu.training.det_module import pipeline_one_deep
 
