@@ -61,6 +61,16 @@ def test_train_resume_test_track_cycle(data_root, tmp_path):
                     "--resume", os.path.join(logs, "lowerbound", "epoch_2.pth")])
     assert "loaded checkpoint" in out_pth
 
+    # padding invariance: 3 frames at batch 2 (padded tail) == batch 1, and
+    # --resume may point at the log dir (ckpt/ resolution)
+    def _map_table(s):
+        return [ln for ln in s.splitlines() if "|" in ln]
+
+    out_b1 = _run(["tools/det/test_codet.py", "--data", data_root, "--grid", "32",
+                   "--batch", "1", "--logpath", logs, "--bound", "lowerbound",
+                   "--resume", os.path.join(logs, "lowerbound")])
+    assert _map_table(out_b1) == _map_table(out), (out_b1, out)
+
     # SORT + CLEAR-MOT over the dumps
     det_dir = os.path.join(logs, "det_dumps")
     if os.path.isdir(det_dir) and os.listdir(det_dir):
