@@ -94,7 +94,9 @@ def main():
         out = model.apply(variables, bev, trans, mask, train=False)
         B, A = out["cls"].shape[:2]
         # packed head layout (ops/nms.py helper): scores from contiguous lane
-        # slices, reg split per-anchor on winners only
+        # slices, reg split per-anchor on winners only. (Fusing away the score
+        # tensor via rotated_nms_decode_packed measured slower — see
+        # training/det_module.py note.)
         raw = out["head_raw"].reshape((B * A,) + out["head_raw"].shape[2:])
         scores, deltas = packed_scores_and_deltas(raw, cfg.num_anchors)
         b, s, keep = jax.vmap(nms)(deltas, scores)

@@ -167,6 +167,64 @@ def rotated_nms(
     return top_boxes, top_scores, keep
 
 
+@functools.partial(jax.jit, static_argnames=("num_anchors", "top_k", "exact_top_k"))
+def rotated_nms_decode_packed(
+    raw: jnp.ndarray,
+    anchors: jnp.ndarray,
+    num_anchors: int,
+    iou_threshold: float,
+    score_threshold: float = 0.0,
+    top_k: int = 256,
+    exact_top_k: bool = False,
+):
+    """Rotated NMS straight from the packed head output (fastest predict path).
+
+    ``raw`` is the (H, W, 2*NA + NA*code) class-major head tensor (see
+    :func:`packed_scores_and_deltas`). Because sigmoid is monotonic, candidate
+    selection runs directly on the raw logit differences and only the K
+    winners are ever sigmoided — the (H, W, NA) foreground-score tensor of the
+    other paths is never materialized. Selection, thresholding, decode and
+    suppression are exactly :func:`rotated_nms_decode` on
+    ``packed_scores_and_deltas(raw)`` (unit-tested equal).
+
+    MEASURED NOTE (v5e, reference geometry, batch 16): inside the full
+    predict graph this fusion ran SLOWER than materializing the score tensor
+    once (196.7 -> 149 scenes/s e2e) — XLA schedules the strided-lane reduce
+    + two-level top-k better from a dense score tensor. The production
+    predict path therefore uses :func:`packed_scores_and_deltas` +
+    :func:`rotated_nms_decode`; this variant is kept as the measured
+    alternative (it may win at other geometries/anchor counts).
+    """
+    H, W, C = raw.shape
+    NA = num_anchors
+    # logit difference: fuses with the cell-max reduce in one pass over raw
+    diff = raw[..., NA : 2 * NA].astype(jnp.float32) - raw[..., :NA].astype(jnp.float32)
+    cell_max = jnp.max(diff, axis=-1).reshape(-1)  # (H*W,)
+    k = min(top_k, cell_max.shape[0])
+    if exact_top_k or cell_max.shape[0] <= top_k:
+        _, cells = jax.lax.top_k(cell_max, k)
+    else:
+        _, cells = jax.lax.approx_max_k(cell_max, k, recall_target=0.99)
+    rows = raw[cells // W, cells % W]  # (k, C) winner rows, one gather
+    diff_rows = rows[:, NA : 2 * NA].astype(jnp.float32) - rows[:, :NA].astype(jnp.float32)
+    kk = min(top_k, diff_rows.size)
+    vals, pos = jax.lax.top_k(diff_rows.reshape(-1), kk)
+    sel = pos // NA
+    a = pos % NA
+    cell_sel = cells[sel]
+    scores = jax.nn.sigmoid(vals)
+    scores = jnp.where(scores >= score_threshold, scores, -1.0)
+    code = (C - 2 * NA) // NA
+    deltas = jnp.take_along_axis(
+        rows[sel, 2 * NA :].reshape(kk, NA, code), a[:, None, None], axis=1
+    )[:, 0]
+    top_boxes = decode_boxes(deltas, anchors[cell_sel // W, cell_sel % W, a])
+    top_boxes = _pad_to(top_boxes, top_k, 0.0)
+    top_scores = _pad_to(scores, top_k, -1.0)
+    keep = _suppress(top_boxes, top_scores, iou_threshold, top_k)
+    return top_boxes, top_scores, keep
+
+
 @functools.partial(jax.jit, static_argnames=("top_k", "exact_top_k"))
 def rotated_nms_decode(
     deltas: jnp.ndarray,

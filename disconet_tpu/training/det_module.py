@@ -33,7 +33,11 @@ from disconet_tpu.config import Config
 from disconet_tpu.ops.bitpack import pack_bev_np, unpack_bev, unpack_bev_np
 from disconet_tpu.ops.boxes import make_anchors
 from disconet_tpu.ops.losses import kd_feature_loss, softmax_focal_loss, weighted_smooth_l1
-from disconet_tpu.ops.nms import foreground_scores, packed_scores_and_deltas, rotated_nms_decode
+from disconet_tpu.ops.nms import (
+    foreground_scores,
+    packed_scores_and_deltas,
+    rotated_nms_decode,
+)
 
 
 def get_bev(batch, key: str, config: Config):
@@ -229,27 +233,37 @@ def make_predict_step(model, config: Config) -> Callable:
             train=False,
         )
         B, A = out["cls"].shape[:2]
-        NA = config.num_anchors
         if "head_raw" in out and config.num_classes == 2:
             # fast path: stay in the conv-native packed channel layout —
-            # no relayout of the head outputs (ops/nms.py helper)
+            # no relayout of the head outputs (ops/nms.py helper). NOTE: the
+            # further fusion of skipping the score tensor entirely
+            # (rotated_nms_decode_packed) measured SLOWER in-graph on v5e
+            # (196.7 -> 149 scenes/s) — materializing scores once lets XLA
+            # schedule the reduce/top-k better; measured, not assumed.
             raw = out["head_raw"].reshape((B * A,) + out["head_raw"].shape[2:])
-            scores, deltas = packed_scores_and_deltas(raw, NA)
+            scores, deltas = packed_scores_and_deltas(raw, config.num_anchors)
+            nms = functools.partial(
+                rotated_nms_decode,
+                anchors=jnp.asarray(anchors),
+                iou_threshold=config.nms_iou_threshold,
+                score_threshold=config.score_threshold,
+                top_k=K,
+            )
+            b, s, keep = jax.vmap(nms)(deltas, scores)
         else:
             # leading-dim merges only — the (H, W, A[, code]) layout is kept so
             # candidate selection/gather never relayouts the ~400k-anchor tensors
             scores = foreground_scores(out["cls"]).reshape((B * A,) + out["cls"].shape[2:-1])
             deltas = out["reg"].reshape((B * A,) + out["reg"].shape[2:]).astype(jnp.float32)
-
-        # top-k first, decode only the K winners (not all ~400k anchors/frame)
-        nms = functools.partial(
-            rotated_nms_decode,
-            anchors=jnp.asarray(anchors),
-            iou_threshold=config.nms_iou_threshold,
-            score_threshold=config.score_threshold,
-            top_k=K,
-        )
-        b, s, keep = jax.vmap(nms)(deltas, scores)
+            # top-k first, decode only the K winners (not all ~400k anchors/frame)
+            nms = functools.partial(
+                rotated_nms_decode,
+                anchors=jnp.asarray(anchors),
+                iou_threshold=config.nms_iou_threshold,
+                score_threshold=config.score_threshold,
+                top_k=K,
+            )
+            b, s, keep = jax.vmap(nms)(deltas, scores)
         return (
             b.reshape(B, A, K, 5),
             s.reshape(B, A, K),

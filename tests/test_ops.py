@@ -248,6 +248,30 @@ class TestNMS:
             np.asarray(reg), atol=1e-6,
         )
 
+    def test_packed_raw_nms_matches_scores_path(self):
+        """rotated_nms_decode_packed (selection on raw logit diffs, winners-only
+        sigmoid) == rotated_nms_decode on packed_scores_and_deltas(raw)."""
+        from disconet_tpu.ops.nms import (
+            packed_scores_and_deltas,
+            rotated_nms_decode,
+            rotated_nms_decode_packed,
+        )
+
+        rng = np.random.default_rng(17)
+        H, W, NA, code = 8, 8, 6, 6
+        anchors = _random_boxes(H * W * NA, rng, spread=30.0).reshape(H, W, NA, 5)
+        raw = rng.normal(0, 1.5, size=(H, W, NA * 2 + NA * code)).astype(np.float32)
+
+        kw = dict(iou_threshold=0.3, score_threshold=0.2, top_k=64, exact_top_k=True)
+        scores, deltas = packed_scores_and_deltas(jnp.asarray(raw), NA)
+        b_s, s_s, k_s = rotated_nms_decode(deltas, scores, jnp.asarray(anchors), **kw)
+        b_p, s_p, k_p = rotated_nms_decode_packed(
+            jnp.asarray(raw), jnp.asarray(anchors), num_anchors=NA, **kw
+        )
+        np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_s), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(b_p), np.asarray(b_s), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(k_p), np.asarray(k_s))
+
     def test_foreground_scores_matches_softmax(self):
         from disconet_tpu.ops.nms import foreground_scores
 
