@@ -95,6 +95,10 @@ class ConvBNRelu(nn.Module):
             x = x.reshape(B, P, Q, C4)
         else:
             x = bn(x.astype(jnp.float32))
+        # stays f32 out: XLA sinks the consumer-side bf16 casts into this op's
+        # fusion (measured: forcing bf16 output here changed e2e throughput by
+        # <0.1%), and an explicit bf16 output breaks the CPU test backend's
+        # shard_map dots (DotThunk: BF16 x BF16 = F32 unimplemented)
         return nn.relu(x)
 
 
