@@ -66,6 +66,16 @@ def _select_candidates(scores, score_threshold, top_k, exact_top_k):
     return top_scores, idx, k
 
 
+def _top_cells(cell_max, top_k, exact_top_k):
+    """Level-1 cell selection: top-k over (H*W,) cell maxima (exact/approx)."""
+    k = min(top_k, cell_max.shape[0])
+    if exact_top_k or cell_max.shape[0] <= top_k:
+        _, cells = jax.lax.top_k(cell_max, k)
+    else:
+        _, cells = jax.lax.approx_max_k(cell_max, k, recall_target=0.99)
+    return cells
+
+
 def _select_candidates_spatial(scores, score_threshold, top_k, exact_top_k):
     """Two-level top-k over (H, W, A) scores without flattening the tensor.
 
@@ -81,12 +91,7 @@ def _select_candidates_spatial(scores, score_threshold, top_k, exact_top_k):
     Returns (top_scores, (h, w, a) index vectors) padded to top_k.
     """
     H, W, A = scores.shape
-    cell_max = jnp.max(scores, axis=-1).reshape(-1)  # (H*W,)
-    k = min(top_k, cell_max.shape[0])
-    if exact_top_k or cell_max.shape[0] <= top_k:
-        _, cells = jax.lax.top_k(cell_max, k)
-    else:
-        _, cells = jax.lax.approx_max_k(cell_max, k, recall_target=0.99)
+    cells = _top_cells(jnp.max(scores, axis=-1).reshape(-1), top_k, exact_top_k)
     cand = scores[cells // W, cells % W]  # (k, A) gather, natural layout
     kk = min(top_k, cand.size)
     vals, pos = jax.lax.top_k(cand.reshape(-1), kk)
@@ -108,6 +113,17 @@ def _pad_to(x, top_k, fill):
         return x
     pad_block = jnp.full((pad,) + x.shape[1:], fill, x.dtype)
     return jnp.concatenate([x, pad_block], axis=0)
+
+
+def _mask_invalid_boxes(top_boxes, top_scores):
+    """Zero box rows whose slot is dead (below threshold or padding).
+
+    Keeps every NMS entry point's output contract identical — dead slots carry
+    (0,0,0,0,0) instead of whatever geometry the index padding happened to
+    decode — so variants are comparable array-for-array at any grid size and
+    no consumer can accidentally read garbage boxes past the keep mask.
+    """
+    return jnp.where((top_scores > -1.0)[:, None], top_boxes, 0.0)
 
 
 def _suppress(top_boxes, top_scores, iou_threshold, top_k):
@@ -163,6 +179,7 @@ def rotated_nms(
     top_scores, idx, _ = _select_candidates(scores, score_threshold, top_k, exact_top_k)
     top_boxes = _pad_to(boxes[idx], top_k, 0.0)
     top_scores = _pad_to(top_scores, top_k, -1.0)
+    top_boxes = _mask_invalid_boxes(top_boxes, top_scores)
     keep = _suppress(top_boxes, top_scores, iou_threshold, top_k)
     return top_boxes, top_scores, keep
 
@@ -184,8 +201,12 @@ def rotated_nms_decode_packed(
     selection runs directly on the raw logit differences and only the K
     winners are ever sigmoided — the (H, W, NA) foreground-score tensor of the
     other paths is never materialized. Selection, thresholding, decode and
-    suppression are exactly :func:`rotated_nms_decode` on
-    ``packed_scores_and_deltas(raw)`` (unit-tested equal).
+    suppression match :func:`rotated_nms_decode` on
+    ``packed_scores_and_deltas(raw)`` (unit-tested equal), with one caveat:
+    candidates here are ranked in the logit domain, so where f32 ``sigmoid``
+    saturates (|logit diff| > ~17) the score-domain path sees exact 1.0 ties
+    it breaks by index while this path still orders by true logit — the
+    selected *sets* can then differ among score-1.0 anchors.
 
     MEASURED NOTE (v5e, reference geometry, batch 16): inside the full
     predict graph this fusion ran SLOWER than materializing the score tensor
@@ -199,12 +220,7 @@ def rotated_nms_decode_packed(
     NA = num_anchors
     # logit difference: fuses with the cell-max reduce in one pass over raw
     diff = raw[..., NA : 2 * NA].astype(jnp.float32) - raw[..., :NA].astype(jnp.float32)
-    cell_max = jnp.max(diff, axis=-1).reshape(-1)  # (H*W,)
-    k = min(top_k, cell_max.shape[0])
-    if exact_top_k or cell_max.shape[0] <= top_k:
-        _, cells = jax.lax.top_k(cell_max, k)
-    else:
-        _, cells = jax.lax.approx_max_k(cell_max, k, recall_target=0.99)
+    cells = _top_cells(jnp.max(diff, axis=-1).reshape(-1), top_k, exact_top_k)
     rows = raw[cells // W, cells % W]  # (k, C) winner rows, one gather
     diff_rows = rows[:, NA : 2 * NA].astype(jnp.float32) - rows[:, :NA].astype(jnp.float32)
     kk = min(top_k, diff_rows.size)
@@ -221,6 +237,7 @@ def rotated_nms_decode_packed(
     top_boxes = decode_boxes(deltas, anchors[cell_sel // W, cell_sel % W, a])
     top_boxes = _pad_to(top_boxes, top_k, 0.0)
     top_scores = _pad_to(scores, top_k, -1.0)
+    top_boxes = _mask_invalid_boxes(top_boxes, top_scores)
     keep = _suppress(top_boxes, top_scores, iou_threshold, top_k)
     return top_boxes, top_scores, keep
 
@@ -271,5 +288,6 @@ def rotated_nms_decode(
         top_boxes = decode_boxes(deltas[idx], anchors[idx])
         top_boxes = _pad_to(top_boxes, top_k, 0.0)
         top_scores = _pad_to(top_scores, top_k, -1.0)
+    top_boxes = _mask_invalid_boxes(top_boxes, top_scores)
     keep = _suppress(top_boxes, top_scores, iou_threshold, top_k)
     return top_boxes, top_scores, keep

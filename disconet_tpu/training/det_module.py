@@ -242,28 +242,21 @@ def make_predict_step(model, config: Config) -> Callable:
             # schedule the reduce/top-k better; measured, not assumed.
             raw = out["head_raw"].reshape((B * A,) + out["head_raw"].shape[2:])
             scores, deltas = packed_scores_and_deltas(raw, config.num_anchors)
-            nms = functools.partial(
-                rotated_nms_decode,
-                anchors=jnp.asarray(anchors),
-                iou_threshold=config.nms_iou_threshold,
-                score_threshold=config.score_threshold,
-                top_k=K,
-            )
-            b, s, keep = jax.vmap(nms)(deltas, scores)
         else:
             # leading-dim merges only — the (H, W, A[, code]) layout is kept so
             # candidate selection/gather never relayouts the ~400k-anchor tensors
             scores = foreground_scores(out["cls"]).reshape((B * A,) + out["cls"].shape[2:-1])
             deltas = out["reg"].reshape((B * A,) + out["reg"].shape[2:]).astype(jnp.float32)
-            # top-k first, decode only the K winners (not all ~400k anchors/frame)
-            nms = functools.partial(
-                rotated_nms_decode,
-                anchors=jnp.asarray(anchors),
-                iou_threshold=config.nms_iou_threshold,
-                score_threshold=config.score_threshold,
-                top_k=K,
-            )
-            b, s, keep = jax.vmap(nms)(deltas, scores)
+
+        # top-k first, decode only the K winners (not all ~400k anchors/frame)
+        nms = functools.partial(
+            rotated_nms_decode,
+            anchors=jnp.asarray(anchors),
+            iou_threshold=config.nms_iou_threshold,
+            score_threshold=config.score_threshold,
+            top_k=K,
+        )
+        b, s, keep = jax.vmap(nms)(deltas, scores)
         return (
             b.reshape(B, A, K, 5),
             s.reshape(B, A, K),

@@ -248,9 +248,13 @@ class TestNMS:
             np.asarray(reg), atol=1e-6,
         )
 
-    def test_packed_raw_nms_matches_scores_path(self):
+    @pytest.mark.parametrize(
+        "H,W,NA,top_k", [(8, 8, 6, 64), (2, 2, 2, 64)]  # 2nd: H*W*NA < top_k (padding)
+    )
+    def test_packed_raw_nms_matches_scores_path(self, H, W, NA, top_k):
         """rotated_nms_decode_packed (selection on raw logit diffs, winners-only
-        sigmoid) == rotated_nms_decode on packed_scores_and_deltas(raw)."""
+        sigmoid) == rotated_nms_decode on packed_scores_and_deltas(raw) —
+        array-for-array, dead slots included (zeroed boxes, score -1)."""
         from disconet_tpu.ops.nms import (
             packed_scores_and_deltas,
             rotated_nms_decode,
@@ -258,11 +262,11 @@ class TestNMS:
         )
 
         rng = np.random.default_rng(17)
-        H, W, NA, code = 8, 8, 6, 6
+        code = 6
         anchors = _random_boxes(H * W * NA, rng, spread=30.0).reshape(H, W, NA, 5)
         raw = rng.normal(0, 1.5, size=(H, W, NA * 2 + NA * code)).astype(np.float32)
 
-        kw = dict(iou_threshold=0.3, score_threshold=0.2, top_k=64, exact_top_k=True)
+        kw = dict(iou_threshold=0.3, score_threshold=0.2, top_k=top_k, exact_top_k=True)
         scores, deltas = packed_scores_and_deltas(jnp.asarray(raw), NA)
         b_s, s_s, k_s = rotated_nms_decode(deltas, scores, jnp.asarray(anchors), **kw)
         b_p, s_p, k_p = rotated_nms_decode_packed(
@@ -271,6 +275,10 @@ class TestNMS:
         np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_s), atol=1e-6)
         np.testing.assert_allclose(np.asarray(b_p), np.asarray(b_s), atol=1e-6)
         np.testing.assert_array_equal(np.asarray(k_p), np.asarray(k_s))
+        # dead slots (padding / below threshold) carry zero boxes in both paths
+        dead = np.asarray(s_s) <= -1.0
+        assert dead.any() or H * W * NA >= top_k  # padding case must have them
+        np.testing.assert_array_equal(np.asarray(b_s)[dead], 0.0)
 
     def test_foreground_scores_matches_softmax(self):
         from disconet_tpu.ops.nms import foreground_scores
