@@ -83,6 +83,37 @@ def test_batch_sharding_spec():
     assert batch_sharding(mesh).spec == jax.sharding.PartitionSpec("data")
     mesh2 = make_mesh(n_data=4, n_agent=2)
     assert batch_sharding(mesh2).spec == jax.sharding.PartitionSpec("data", "agent")
+    mesh3 = make_mesh(n_data=2, n_agent=2, n_spatial=2)
+    assert batch_sharding(mesh3, spatial_dim=2).spec == jax.sharding.PartitionSpec(
+        "data", "agent", "spatial"
+    )
+
+
+def test_spatial_axis_sharding_trains():
+    """3-D (data, spatial) mesh: the BEV H axis is a real mesh axis — GSPMD
+    inserts the conv halo exchanges itself (model-level adoption of the
+    parallel/spatial.py exchange; SURVEY.md §5.7). Must compile, run, and
+    match the single-device step numerically."""
+    B, A = 2, 3
+    batch = _batch(B, A)
+    model = build_model("disco", CFG)
+    state1 = create_train_state(model, CFG, jax.random.PRNGKey(0), batch)
+    state2 = create_train_state(model, CFG, jax.random.PRNGKey(0), batch)
+    step = make_train_step(model, CFG)
+
+    _, m1 = step(state1, batch_to_device(batch), None)
+
+    mesh = make_mesh(n_data=2, n_spatial=4)
+    assert dict(mesh.shape) == {"data": 2, "agent": 1, "spatial": 4}
+    state2 = state2.replace(
+        params=replicate_tree(state2.params, mesh),
+        batch_stats=replicate_tree(state2.batch_stats, mesh),
+        opt_state=replicate_tree(state2.opt_state, mesh),
+    )
+    dev = shard_batch(batch, mesh)
+    assert dev["bev"].sharding.spec == jax.sharding.PartitionSpec("data", None, "spatial")
+    _, m2 = step(state2, dev, None)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=5e-3)
 
 
 class TestSpatialSharding:
