@@ -88,9 +88,31 @@ def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict[str, jax.Array
     axes exist with size > 1)."""
     from disconet_tpu.ops.bitpack import pack_bev_np
 
-    bs = batch_sharding(mesh)
     rep = replicated(mesh)
+    n_agent = mesh.shape.get("agent", 1)
     n_spatial = mesh.shape.get("spatial", 1)
+
+    def spec_for(arr: np.ndarray, k: str) -> NamedSharding:
+        # per-array spec, truncated to its rank, axes applied only where the
+        # dim divides evenly; dropping an axis never changes results under
+        # jit — sharding is a layout choice, GSPMD keeps semantics
+        if arr.ndim < 1 or arr.shape[0] % mesh.shape["data"] != 0:
+            return rep
+        spec: list = [None] * min(arr.ndim, 3)
+        spec[0] = "data"
+        if n_agent > 1 and arr.ndim > 1 and arr.shape[1] % n_agent == 0:
+            spec[1] = "agent"
+        if (
+            n_spatial > 1
+            and k in _SPATIAL_KEYS
+            and arr.ndim > 2
+            and arr.shape[2] % n_spatial == 0
+        ):
+            spec[2] = "spatial"
+        while spec and spec[-1] is None:
+            spec.pop()
+        return NamedSharding(mesh, P(*spec))
+
     sparse = "reg_pos_idx" in batch
     out = {}
     for k, v in batch.items():
@@ -102,18 +124,7 @@ def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict[str, jax.Array
         if k in ("bev", "bev_teacher") and arr.dtype in (np.uint8, np.bool_):
             # binary grids ship bit-packed (ops/bitpack.py; get_bev unpacks)
             arr, k = pack_bev_np(arr), k + "_packed"
-        if arr.ndim < 1 or arr.shape[0] % mesh.shape["data"] != 0:
-            sh = rep
-        elif (
-            n_spatial > 1
-            and k in _SPATIAL_KEYS
-            and arr.ndim > 2
-            and arr.shape[2] % n_spatial == 0
-        ):
-            sh = batch_sharding(mesh, spatial_dim=2)
-        else:
-            sh = bs
-        out[k] = jax.device_put(arr, sh)
+        out[k] = jax.device_put(arr, spec_for(arr, k))
     return out
 
 

@@ -75,6 +75,10 @@ def parse_args(argv=None):
     p.add_argument("--ckpt_keep", type=int, default=5,
                    help="orbax checkpoints retained (0 = keep all; epoch_N.pth exports are never pruned)")
     p.add_argument("--cache_items", type=int, default=256, help="in-memory dataset item cache")
+    p.add_argument("--mesh_agent", type=int, default=1,
+                   help="mesh axis size sharding the agent dim (fusion gather -> ICI all_gather)")
+    p.add_argument("--mesh_spatial", type=int, default=1,
+                   help="mesh axis size sharding the BEV H dim (GSPMD conv halo exchange)")
     return p.parse_args(argv)
 
 
@@ -163,7 +167,7 @@ def main(argv=None):
     state, start_epoch = load_student_ckpt(args, state, ckpt_io)
     logger = MetricLogger(logdir, log=args.log)
 
-    mesh = make_mesh()
+    mesh = make_mesh(n_agent=args.mesh_agent, n_spatial=args.mesh_spatial)
     multi = mesh.devices.size > 1
     if multi:
         state = state.replace(
