@@ -11,7 +11,11 @@ receiver, sender), one ``grid_sample`` launch per pair (SURVEY.md §4.1 hot spot
     as one vmapped bilinear gather, (B, A, A, h, w, C) in a single XLA op tree;
   * absent agents (scenes have 2-6 agents) are carried as a boolean
     ``agent_mask``; :func:`sender_softmax` and the masked reductions guarantee
-    padding never leaks into fusion (SURVEY.md §7 "hard parts").
+    padding never leaks into fusion (SURVEY.md §7 "hard parts"). Padded slots
+    DO flow through the conv stack and BatchNorm statistics as all-zero BEVs —
+    deliberately: the reference folds padded agents through its backbone the
+    same way (DetModelBase.agents_to_batch over the collate-padded tensor), so
+    masking BN here would break numeric parity with reference checkpoints.
 
 ``IntermediateFusionModel`` is the shared skeleton of every ``--com`` model
 (SURVEY.md C13, C16-C18): encode per agent -> fuse at ``--layer k`` -> decode
@@ -56,11 +60,17 @@ def warp_all_pairs(
     Returns:
         (B, A_recv, A_send, h, w, C), zeros outside each sender's field of view.
 
-    Uses the MXU (one-hot matmul) formulation — 3.7x faster than the gather
-    version on v5e at the 32x32 fusion grid (ops/warp.py); the gather version
-    remains the precision oracle for torch-parity tests.
+    Implementation dispatch: the MXU (one-hot matmul) formulation — 3.7x
+    faster than the gather version on v5e at the 32x32 fusion grid — builds a
+    dense (A, A, H*W, H*W) tap matrix, so it only makes sense while that fits
+    comfortably (f32 bytes: A^2 * Q^2 * 4; at Q=1024 and A=6 that's 151 MB per
+    scene, at Q=4096 it would be 2.4 GB). Larger fusion grids (--layer <= 2 at
+    the 256^2 geometry) use the O(Q) bilinear-gather version, which is also
+    the torch-parity precision oracle.
     """
-    return jax.vmap(lambda f, t: warp_features_matmul(f, t, extent_xy))(feats, trans)
+    q = feats.shape[2] * feats.shape[3]
+    impl = warp_features_matmul if q <= 1024 else warp_features
+    return jax.vmap(lambda f, t: impl(f, t, extent_xy))(feats, trans)
 
 
 def sender_softmax(scores: jnp.ndarray, agent_mask: jnp.ndarray) -> jnp.ndarray:

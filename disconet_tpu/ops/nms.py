@@ -29,12 +29,16 @@ def foreground_scores(cls_logits: jnp.ndarray) -> jnp.ndarray:
 
     For the reference's binary vehicle class (SURVEY.md C1) the 2-way softmax
     probability of class 1 is exactly ``sigmoid(l1 - l0)`` — one fused
-    elementwise pass instead of materializing the full softmax tensor.
+    elementwise pass instead of materializing the full softmax tensor. For
+    more classes (class 0 = background, as in the reference's one-hot layout)
+    foreground is ``1 - p(background)``, so anchors confident in *any* object
+    class rank as candidates; class attribution for multi-class NMS would go
+    on top (the shipped configs are binary, SURVEY.md C1).
     """
     cls_logits = cls_logits.astype(jnp.float32)
     if cls_logits.shape[-1] == 2:
         return jax.nn.sigmoid(cls_logits[..., 1] - cls_logits[..., 0])
-    return jax.nn.softmax(cls_logits, axis=-1)[..., 1]
+    return 1.0 - jax.nn.softmax(cls_logits, axis=-1)[..., 0]
 
 
 def packed_scores_and_deltas(raw: jnp.ndarray, num_anchors: int):
@@ -128,15 +132,20 @@ def _mask_invalid_boxes(top_boxes, top_scores):
 
 def _suppress(top_boxes, top_scores, iou_threshold, top_k):
     """Greedy suppression over the (K, K) rotated-IoU matrix (shared tail)."""
+    # a (cx, cy, w, l, θ) box is the same point set under w -> |w| (symmetric
+    # extents), but every IoU implementation here assumes w,l >= 0 (signed
+    # areas / Liang-Barsky normals break otherwise). Decoded boxes guarantee
+    # it (exp-coded sizes); rotated_nms accepts arbitrary caller boxes, so
+    # normalize once (K x 2 values, free) instead of trusting callers.
+    b = top_boxes.at[:, 2:4].set(jnp.abs(top_boxes[:, 2:4]))
     if jax.default_backend() == "tpu":
         # Pallas kernel: whole clip pipeline in VMEM tiles, 3.7x the XLA
-        # version (9.4 vs 35 ms for 96x256x256 pairs on v5e); requires w,l>=0
-        # which decoded boxes guarantee (exp-coded sizes)
+        # version (9.4 vs 35 ms for 96x256x256 pairs on v5e)
         from disconet_tpu.ops.pallas.rotated_iou_pallas import rotated_iou_matrix_pallas
 
-        iou = rotated_iou_matrix_pallas(top_boxes, top_boxes)
+        iou = rotated_iou_matrix_pallas(b, b)
     else:
-        iou = rotated_iou_matrix(top_boxes, top_boxes)  # (K, K)
+        iou = rotated_iou_matrix(b, b)  # (K, K)
     valid = top_scores > -1.0
 
     def body(i, keep):
@@ -162,7 +171,10 @@ def rotated_nms(
 
     Args:
         boxes: (N, 5) rotated boxes (cx, cy, w, l, theta).
-        scores: (N,) confidence scores.
+        scores: (N,) confidence scores. Must live strictly above -1.0
+            (probability-like domains do): -1.0 is the internal dead-slot
+            sentinel, so scores at or below it would corrupt ranking and the
+            keep mask. Pass raw logits through a sigmoid/softmax first.
         iou_threshold: suppress boxes with IoU > threshold against a kept box.
         score_threshold: boxes below this are dropped up front.
         top_k: static number of candidates considered (and size of the output).

@@ -96,12 +96,12 @@ def voxelize_occupy_pallas(
     int32 cast of a NaN/inf lands out of the guarded index range — they are
     additionally masked out on the host side of the kernel via ``valid``.
     """
-    lo = tuple(float(e[0]) for e in extents)
-    hi = tuple(float(e[1]) for e in extents)
-    vs = tuple(float(v) for v in voxel_size)
-    dims = tuple(
-        int(np.ceil((h - l) / v - 1e-9)) for l, h, v in zip(lo, hi, vs)
-    )
+    from disconet_tpu.ops.voxelize import grid_dims
+
+    lo = tuple(float(np.float32(e[0])) for e in extents)
+    hi = tuple(float(np.float32(e[1])) for e in extents)
+    vs = tuple(float(np.float32(v)) for v in voxel_size)
+    dims = grid_dims(voxel_size, extents)  # shared grid-shape rule
     H, W, Z = dims
     assert Z <= 32, "bit-packed z-axis supports up to 32 voxels"
 

@@ -24,23 +24,37 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def grid_dims(voxel_size, extents) -> Tuple[int, ...]:
+    """THE grid-shape rule, shared by all three implementations (np oracle,
+    XLA, Pallas): cell boundaries are the float32-rounded extents (the data
+    contract — points and device math are f32), the count division runs in
+    float64 with a 1e-9 guard against representation error. Keeping one copy
+    guarantees the implementations can never disagree on the grid shape."""
+    lo = np.array([e[0] for e in extents], dtype=np.float32)
+    hi = np.array([e[1] for e in extents], dtype=np.float32)
+    vs = np.asarray(voxel_size, dtype=np.float32)
+    counts = (hi.astype(np.float64) - lo.astype(np.float64)) / vs.astype(np.float64)
+    return tuple(int(d) for d in np.ceil(counts - 1e-9).astype(np.int64))
+
+
 def voxelize_occupy_np(
     points: np.ndarray,
     voxel_size: Sequence[float],
     extents: Sequence[Tuple[float, float]],
+    mask: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Numpy oracle: (N, 3) points -> (H, W, Z) uint8/float32 binary occupancy.
 
     Index arithmetic is float32 on purpose: LiDAR points are float32 and the
     on-device implementations (XLA scatter, Pallas kernel) compute in float32,
     so the oracle must round cell boundaries identically to be a bit-for-bit
-    contract.
+    contract. ``mask`` (N,) drops padding rows, as in the device paths.
     """
     points = np.asarray(points, dtype=np.float32)
     lo = np.array([e[0] for e in extents], dtype=np.float32)
     hi = np.array([e[1] for e in extents], dtype=np.float32)
     vs = np.asarray(voxel_size, dtype=np.float32)
-    dims = np.ceil((hi.astype(np.float64) - lo) / vs - 1e-9).astype(np.int64)
+    dims = np.asarray(grid_dims(voxel_size, extents), dtype=np.int64)
     grid = np.zeros(tuple(dims), dtype=np.float32)
     if points.size == 0:
         return grid
@@ -48,6 +62,8 @@ def voxelize_occupy_np(
     idx = np.floor((points - lo) / vs).astype(np.int64)
     ok = finite & np.all((points >= lo) & (points < hi), axis=-1)
     ok &= np.all((idx >= 0) & (idx < dims), axis=-1)
+    if mask is not None:
+        ok &= np.asarray(mask).astype(bool)
     idx = idx[ok]
     grid[idx[:, 0], idx[:, 1], idx[:, 2]] = 1.0
     return grid
@@ -57,8 +73,7 @@ def _geometry(voxel_size, extents):
     lo = np.array([e[0] for e in extents], dtype=np.float32)
     hi = np.array([e[1] for e in extents], dtype=np.float32)
     vs = np.asarray(voxel_size, dtype=np.float32)
-    dims = tuple(int(d) for d in np.ceil((hi - lo) / vs - 1e-9).astype(np.int64))
-    return lo, hi, vs, dims
+    return lo, hi, vs, grid_dims(voxel_size, extents)
 
 
 @functools.partial(jax.jit, static_argnames=("voxel_size", "extents"))
@@ -112,7 +127,7 @@ def voxelize_occupy_jax(
 def voxelize_occupy(points, voxel_size, extents, mask=None, impl: str = "jax"):
     """Dispatcher over voxelizer implementations ('np' | 'jax' | 'pallas')."""
     if impl == "np":
-        return voxelize_occupy_np(np.asarray(points), voxel_size, extents)
+        return voxelize_occupy_np(np.asarray(points), voxel_size, extents, mask=mask)
     if impl == "pallas":
         from disconet_tpu.ops.pallas.voxelize_pallas import voxelize_occupy_pallas
 

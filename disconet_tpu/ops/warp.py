@@ -229,26 +229,12 @@ def warp_features(
         expressed in receiver i's grid, zeros outside sender FoV.
     """
     A, H, W, C = feats.shape
-    (x_lo, x_hi), (y_lo, y_hi) = extent_xy
-    cell_x = (x_hi - x_lo) / H
-    cell_y = (y_hi - y_lo) / W
+    # shared coordinate math with the matmul formulation — the half-pixel
+    # convention (§7 "hard parts") lives in exactly one place
+    px, py = _sample_coords(trans, extent_xy, H, W)  # (A, A, H, W)
 
-    # receiver-pixel metric centers (H, W)
-    mx = x_lo + (jnp.arange(H) + 0.5) * cell_x
-    my = y_lo + (jnp.arange(W) + 0.5) * cell_y
-    gx, gy = jnp.meshgrid(mx, my, indexing="ij")  # (H, W)
+    # outer vmap: receivers i; inner: sample each sender j at coords[i, j]
+    def per_receiver(px_i, py_i):  # (A, H, W) each
+        return jax.vmap(_bilinear_zeros)(feats, px_i, py_i)  # (A, H, W, C)
 
-    aff = pose_to_affine(trans)  # (A, A, 2, 3): receiver metric -> sender metric
-
-    def warp_one(feat_j, aff_ij):
-        sx = aff_ij[0, 0] * gx + aff_ij[0, 1] * gy + aff_ij[0, 2]
-        sy = aff_ij[1, 0] * gx + aff_ij[1, 1] * gy + aff_ij[1, 2]
-        px = (sx - x_lo) / cell_x - 0.5
-        py = (sy - y_lo) / cell_y - 0.5
-        return _bilinear_zeros(feat_j, px, py)  # (H, W, C)
-
-    # vmap receiver axis over senders' shared feature stack
-    def per_receiver(aff_i):  # aff_i: (A, 2, 3)
-        return jax.vmap(warp_one)(feats, aff_i)  # (A, H, W, C)
-
-    return jax.vmap(per_receiver)(aff)  # (A, A, H, W, C)
+    return jax.vmap(per_receiver)(px, py)  # (A, A, H, W, C)

@@ -289,6 +289,36 @@ class TestNMS:
         got = np.asarray(foreground_scores(jnp.asarray(logits)))
         np.testing.assert_allclose(got, want, atol=1e-6)
 
+    def test_negative_sizes_suppress_like_positive(self):
+        """(cx, cy, w, l, θ) with negative w/l is the same point set as |w|,|l|
+        (symmetric extents); _suppress normalizes so callers handing such boxes
+        to rotated_nms get identical suppression — every IoU impl assumes
+        w,l >= 0 and silently returns 0 otherwise."""
+        boxes = np.array(
+            [[0.0, 0.0, 2.0, 3.0, 0.3],
+             [0.05, 0.0, -2.0, -3.0, 0.3],   # near-duplicate, negative sizes
+             [10.0, 10.0, 2.0, 3.0, 0.0]],
+            np.float32,
+        )
+        scores = np.array([0.9, 0.8, 0.7], np.float32)
+        b, s, keep = rotated_nms(
+            jnp.asarray(boxes), jnp.asarray(scores), iou_threshold=0.3, top_k=3
+        )
+        np.testing.assert_array_equal(np.asarray(keep), [True, False, True])
+
+    def test_foreground_scores_multiclass_is_one_minus_background(self):
+        # class 0 = background: foreground = 1 - p0, not p(class 1) — an anchor
+        # confident in class 2 must still rank as a candidate
+        from disconet_tpu.ops.nms import foreground_scores
+
+        rng = np.random.default_rng(9)
+        logits = rng.normal(0, 3, size=(5, 4)).astype(np.float32)
+        logits[0] = [-5.0, -5.0, 8.0, -5.0]  # confident class 2
+        p = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+        got = np.asarray(foreground_scores(jnp.asarray(logits)))
+        np.testing.assert_allclose(got, 1.0 - p[..., 0], atol=1e-6)
+        assert got[0] > 0.99
+
 
 class TestVoxelize:
     def test_matches_oracle_random(self):
@@ -321,6 +351,40 @@ class TestVoxelize:
         pts = rng.uniform(-2, 2, size=(3, 4, 64, 3)).astype(np.float32)
         out = voxelize_occupy_jax(jnp.asarray(pts), cfg.voxel_size, cfg.area_extents)
         assert out.shape == (3, 4) + cfg.grid_size
+
+    def test_np_impl_honors_mask(self):
+        # the dispatcher's 'np' path must drop masked padding rows like the
+        # device paths do — zero-padded rows are in-extent for symmetric extents
+        from disconet_tpu.ops.voxelize import voxelize_occupy
+
+        cfg = tiny_config(32)
+        pts = np.zeros((8, 3), dtype=np.float32)  # all at the center cell
+        pts[0] = [1.0, 1.0, 0.0]
+        mask = np.zeros(8, dtype=bool)
+        mask[0] = True
+        got = voxelize_occupy(pts, cfg.voxel_size, cfg.area_extents, mask=mask, impl="np")
+        assert got.sum() == 1
+        ref = np.asarray(
+            voxelize_occupy(pts, cfg.voxel_size, cfg.area_extents, mask=mask, impl="jax")
+        )
+        np.testing.assert_array_equal(got, ref)
+
+    def test_grid_dims_shared_rule(self):
+        # one grid-shape rule across impls, incl. geometries where f32 vs f64
+        # division of the cell count would round differently
+        from disconet_tpu.ops.voxelize import grid_dims
+
+        geoms = [
+            ((0.25, 0.25, 0.4), ((-32.0, 32.0), (-32.0, 32.0), (-3.0, 2.0))),
+            ((0.1, 0.1, 0.1), ((-1.0, 1.0), (-1.0, 1.0), (0.0, 0.7))),
+            ((0.3, 0.3, 0.3), ((-0.95, 0.95), (-0.95, 0.95), (0.0, 0.9))),
+        ]
+        for vs, ext in geoms:
+            dims = grid_dims(vs, ext)
+            oracle = voxelize_occupy_np(np.zeros((0, 3), np.float32), vs, ext)
+            assert oracle.shape == dims, (vs, ext)
+            dev = voxelize_occupy_jax(jnp.zeros((1, 3)), vs, ext)
+            assert dev.shape == dims, (vs, ext)
 
 
 class TestLosses:

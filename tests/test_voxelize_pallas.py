@@ -90,3 +90,4 @@ class TestPallasIoU:
         assert got.shape == (B, N, M)
         for b in range(B):
             np.testing.assert_allclose(got[b], rotated_iou_np(ba[b], bb[b]), atol=2e-3)
+

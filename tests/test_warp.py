@@ -147,3 +147,31 @@ class TestMatmulWarp:
         out = np.asarray(warp_features_matmul(feats, trans, ((-1.0, 1.0), (-1.0, 1.0))))
         for i in range(A):
             np.testing.assert_allclose(out[i, i], np.asarray(feats[i]), atol=1e-6)
+
+    def test_warp_all_pairs_dispatches_to_gather_on_large_grids(self, monkeypatch):
+        """Fusion grids with H*W > 1024 must use the O(Q) gather warp — the
+        one-hot matmul's dense (A, A, Q, Q) tap matrix is infeasible there
+        (2.4 GB/scene at Q=4096, i.e. --layer 2 at the 256^2 geometry)."""
+        import jax
+        import numpy as np
+        import disconet_tpu.models.base as base
+
+        rng = np.random.default_rng(2)
+        B, A, H, C = 1, 2, 36, 2  # Q = 1296 > 1024
+        feats = jnp.asarray(rng.standard_normal((B, A, H, H, C)).astype(np.float32))
+        trans = np.tile(np.eye(4, dtype=np.float32), (B, A, A, 1, 1))
+        trans[0, 0, 1][:2, 3] = [0.5, -0.25]
+        trans[0, 1, 0][:2, 3] = [-0.5, 0.25]
+        ext = ((-4.0, 4.0), (-4.0, 4.0))
+
+        def boom(*a, **k):
+            raise AssertionError("matmul warp must not run at Q > 1024")
+
+        monkeypatch.setattr(base, "warp_features_matmul", boom)
+        got = np.asarray(base.warp_all_pairs(feats, jnp.asarray(trans), ext))
+        from disconet_tpu.ops.warp import warp_features
+
+        want = np.asarray(
+            jax.vmap(lambda f, t: warp_features(f, t, ext))(feats, jnp.asarray(trans))
+        )
+        np.testing.assert_allclose(got, want, atol=1e-6)
