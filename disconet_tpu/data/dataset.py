@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import warnings
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -135,7 +136,16 @@ class V2XSimDet:
             bev_teacher[slot] = teacher.astype(np.uint8)
             fr_mask = np.asarray(fr["reg_loss_mask"], bool)
             fr_reg = np.asarray(fr["reg_target"], np.float32)
-            nz = np.nonzero(fr_mask.reshape(-1))[0][:P]
+            nz = np.nonzero(fr_mask.reshape(-1))[0]
+            if len(nz) > P:
+                # silent truncation would diverge from the dense/reference
+                # targets; extremely dense frames need a bigger budget
+                warnings.warn(
+                    f"{path}: {len(nz)} positive anchors exceed "
+                    f"max_pos_anchors={P}; excess positives are dropped — "
+                    "raise config.max_pos_anchors for this dataset"
+                )
+                nz = nz[:P]
             pos_idx[slot, : len(nz)] = nz
             pos_target[slot, : len(nz)] = fr_reg.reshape(-1, code)[nz]
             if self.dense_targets:
@@ -180,7 +190,8 @@ class V2XSimDet:
 class V2XSimSeg(V2XSimDet):
     """Segmentation dataset (SURVEY.md C3): BEV grids + per-cell class labels."""
 
-    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+    # overriding _build_item (not __getitem__) keeps the base item cache live
+    def _build_item(self, i: int) -> Dict[str, np.ndarray]:
         cfg = self.config
         MA = cfg.max_agents
         H, W = cfg.map_dims
@@ -294,12 +305,20 @@ class BatchIterator:
         q: "queue.Queue" = queue.Queue(maxsize=2)
 
         def producer():
-            with concurrent.futures.ThreadPoolExecutor(self.num_workers) as pool:
-                for b in range(nb):
-                    idx = order[b * self.batch_size : (b + 1) * self.batch_size]
-                    items = list(pool.map(self.dataset.__getitem__, (int(i) for i in idx)))
-                    q.put(collate_det(items))
-            q.put(None)
+            # any failure must reach the consumer: a producer dying without a
+            # sentinel would leave the main thread blocked on q.get() forever
+            # (a silent multi-hour hang instead of a crash on a corrupt .npy)
+            try:
+                with concurrent.futures.ThreadPoolExecutor(self.num_workers) as pool:
+                    for b in range(nb):
+                        idx = order[b * self.batch_size : (b + 1) * self.batch_size]
+                        items = list(
+                            pool.map(self.dataset.__getitem__, (int(i) for i in idx))
+                        )
+                        q.put(collate_det(items))
+                q.put(None)
+            except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -307,4 +326,6 @@ class BatchIterator:
             item = q.get()
             if item is None:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield item

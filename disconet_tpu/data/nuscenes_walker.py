@@ -191,6 +191,11 @@ def create_data_from_nuscenes(
                     "num_agent": np.int32(len(agents)),
                     "trans_matrices": trans,
                 },
+                # real V2X-Sim dumps are the parity data source: keep dense
+                # fp32 targets exactly as the reference writes them (the lossy
+                # f16/binary-label compression exists only for the synthetic
+                # test fixtures, schema.py)
+                compress=False,
             )
             n_files += 1
     return n_files

@@ -60,13 +60,16 @@ def assign_targets(gt_boxes: np.ndarray, config: Config, anchors: np.ndarray | N
         best_iou = np.zeros((n_anchors,), dtype=np.float32)
         best_gt = np.full((n_anchors,), -1, dtype=np.int64)
 
+        # phase 1: regular best-gt-per-anchor assignment (+ per-gt candidates
+        # kept for phase 2)
+        cand_per_gt = []
         for g in range(G):
             # exact pruning: boxes whose center distance exceeds the sum of
             # circumscribed radii cannot intersect
             d = np.hypot(centers[:, 0] - gt_boxes[g, 0], centers[:, 1] - gt_boxes[g, 1])
             cand = np.nonzero(d <= anchor_rad + gt_rad[g])[0]
             if cand.size == 0:
-                # degenerate: force the nearest anchor later via gt_max_iou slot
+                # degenerate: fall back to the nearest anchor (IoU 0)
                 cand = np.array([int(np.argmin(d))])
             ious = rotated_iou_pairs_np(
                 flat_anchors[cand], np.broadcast_to(gt_boxes[g], (cand.size, 5))
@@ -74,13 +77,30 @@ def assign_targets(gt_boxes: np.ndarray, config: Config, anchors: np.ndarray | N
             upd = ious > best_iou[cand]
             best_iou[cand[upd]] = ious[upd]
             best_gt[cand[upd]] = g
-            # force-match: gt's best anchor (among candidates) is positive
             k = cand[int(np.argmax(ious))]
             gt_max_iou[g] = (float(ious.max()), float(k))
-            if best_gt[k] == g or ious.max() >= best_iou[k]:
-                best_iou[k] = max(best_iou[k], float(ious.max()))
-                best_gt[k] = g
-                reg_mask[k] = True
+            cand_per_gt.append((cand, ious))
+
+        # phase 2: force-match AFTER all regular updates — doing it inside the
+        # loop let a later gt silently revoke an earlier gt's forced anchor
+        # (overwriting best_gt at the shared anchor), leaving that gt with zero
+        # positives. Greedy over each gt's candidates, skipping anchors already
+        # force-claimed, so every gt keeps its own positive anchor whenever one
+        # is available (conflicts only if a gt's every candidate is claimed —
+        # then the best one is shared, the unavoidable case).
+        force_claimed: Dict[int, int] = {}
+        for g in range(G):
+            cand, ious = cand_per_gt[g]
+            pick = -1
+            for o in np.argsort(-ious):
+                if int(cand[o]) not in force_claimed:
+                    pick = int(cand[o])
+                    break
+            if pick < 0:
+                pick = int(cand[int(np.argmax(ious))])
+            force_claimed.setdefault(pick, g)
+            best_gt[pick] = g
+            reg_mask[pick] = True
 
         pos = (best_iou >= config.pos_iou_threshold) & (best_gt >= 0)
         reg_mask |= pos

@@ -35,8 +35,7 @@ def clear_mot(
     assert len(gt_frames) == len(hyp_frames)
     misses = fps = idsw = num_gt = matches = 0
     iou_sum = 0.0
-    corr: Dict[int, int] = {}  # gt id -> hyp id from previous frames
-    last_hyp: Dict[int, int] = {}  # gt id -> last matched hyp id (for idsw)
+    corr: Dict[int, int] = {}  # gt id -> last matched hyp id (kept + idsw check)
 
     for (g_boxes, g_ids), (h_boxes, h_ids) in zip(gt_frames, hyp_frames):
         g_boxes = np.asarray(g_boxes, np.float64).reshape(-1, 5)
@@ -49,12 +48,15 @@ def clear_mot(
 
         matched_g: Dict[int, int] = {}  # gt index -> hyp index
         used_h = set()
-        # 1) keep valid existing correspondences
+        # 1) keep valid existing correspondences — one-to-one: a hypothesis
+        # already kept by one gt cannot be kept again by another (stale corr
+        # entries can map two gt ids to the same hyp id after track churn;
+        # double-counting it inflated matches/MOTA)
         for gi, gid in enumerate(g_ids):
             hid = corr.get(gid)
             if hid is not None and hid in h_ids:
                 hj = h_ids.index(hid)
-                if iou[gi, hj] >= iou_threshold:
+                if hj not in used_h and iou[gi, hj] >= iou_threshold:
                     matched_g[gi] = hj
                     used_h.add(hj)
         # 2) Hungarian over the rest
@@ -70,9 +72,8 @@ def clear_mot(
 
         for gi, hj in matched_g.items():
             gid, hid = g_ids[gi], h_ids[hj]
-            if gid in last_hyp and last_hyp[gid] != hid:
+            if gid in corr and corr[gid] != hid:
                 idsw += 1
-            last_hyp[gid] = hid
             corr[gid] = hid
             matches += 1
             iou_sum += iou[gi, hj]

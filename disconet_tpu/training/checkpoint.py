@@ -83,23 +83,33 @@ class CheckpointIO:
 
 
 def restore_or_die(path: str, state):
-    """Restore an orbax checkpoint into ``state``, accepting either the ckpt
-    directory itself or the train-CLI log dir that contains a ``ckpt/`` subdir.
+    """Restore a checkpoint into ``state``: an orbax ckpt directory, the
+    train-CLI log dir containing a ``ckpt/`` subdir, or a ``.pth`` file
+    (reference format, via the torch bridge below).
 
     Returns (state, epoch, resolved_path); raises SystemExit if nothing
     restores — silently continuing with random weights is never what the
-    caller wants (shared by the four train/test CLIs).
+    caller wants (shared by the four train/test CLIs). Probing never creates
+    directories (a typo'd --resume must not leave an empty ckpt dir behind).
     """
-    state2, epoch = CheckpointIO(path).restore(state)
-    if epoch is None and os.path.isdir(os.path.join(path, "ckpt")):
-        path = os.path.join(path, "ckpt")
+    if os.path.isfile(path):
+        if not path.endswith(".pth"):
+            raise SystemExit(
+                f"--resume {path}: is a file but not a .pth checkpoint"
+            )
+        params, batch_stats, epoch, _ = load_pth(path, state.params, state.batch_stats)
+        return state.replace(params=params, batch_stats=batch_stats), epoch, path
+    if os.path.isdir(path):
         state2, epoch = CheckpointIO(path).restore(state)
-    if epoch is None:
-        raise SystemExit(
-            f"--resume {path}: no checkpoint found (pass the ckpt dir, the "
-            "train-CLI log dir containing it, or a .pth file)"
-        )
-    return state2, epoch, path
+        if epoch is None and os.path.isdir(os.path.join(path, "ckpt")):
+            path = os.path.join(path, "ckpt")
+            state2, epoch = CheckpointIO(path).restore(state)
+        if epoch is not None:
+            return state2, epoch, path
+    raise SystemExit(
+        f"--resume {path}: no checkpoint found (pass the ckpt dir, the "
+        "train-CLI log dir containing it, or a .pth file)"
+    )
 
 
 # ---------------------------------------------------------------------------

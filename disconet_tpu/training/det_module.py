@@ -298,7 +298,12 @@ def batch_to_device(batch: Dict[str, np.ndarray], sharding=None) -> Dict[str, jn
         arr, key = batch[k], k
         if k in _PACK_KEYS and np.asarray(arr).dtype in (np.uint8, np.bool_):
             arr, key = pack_bev_np(arr), k + "_packed"
-        out[key] = jax.device_put(jnp.asarray(arr), sharding) if sharding else jnp.asarray(arr)
+        # np.asarray (not jnp): jnp.asarray would commit the array to the
+        # default device first and device_put would transfer it AGAIN —
+        # host<->device bandwidth over the tunnel is precious
+        out[key] = (
+            jax.device_put(np.asarray(arr), sharding) if sharding else jnp.asarray(arr)
+        )
     return out
 
 

@@ -55,6 +55,29 @@ def test_assign_targets_roundtrip():
         assert abs(np.sin(dec[4] - gt[g, 4])) < 1e-3
 
 
+def test_assign_targets_crowded_gts_each_keep_a_positive():
+    """Two heavily-overlapping gts competing for the same best anchor: the
+    force-match must not be revocable — each gt keeps its own positive anchor
+    (decode at some positive anchor recovers each gt)."""
+    cfg = CFG
+    anchors = make_anchors(cfg)
+    gt = np.array(
+        [[0.0, 0.0, 2.0, 4.5, 0.2], [0.4, 0.1, 2.0, 4.5, 0.2]], np.float32
+    )
+    tgt = assign_targets(gt, cfg, anchors=anchors)
+    flat_anchors = anchors.reshape(-1, 5)
+    flat_reg = tgt["reg_target"].reshape(-1, 6)
+    pos = np.nonzero(tgt["reg_loss_mask"].reshape(-1))[0]
+    assert len(pos) >= 2
+    decoded = np.stack(
+        [np.asarray(decode_boxes(flat_reg[k], flat_anchors[k])) for k in pos]
+    )
+    for g in range(len(gt)):
+        d = np.abs(decoded[:, :4] - gt[g, :4]).max(axis=1)
+        ang = np.abs(np.sin(decoded[:, 4] - gt[g, 4]))
+        assert ((d < 1e-3) & (ang < 1e-3)).any(), f"gt {g} has no positive anchor"
+
+
 def test_anchors_map_roundtrip():
     cfg = CFG
     anchors = make_anchors(cfg)

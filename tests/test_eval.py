@@ -85,6 +85,24 @@ def test_clear_mot_id_switch_counted():
     assert r["MOTA"] == 0.5  # 1 switch over 2 gt
 
 
+def test_clear_mot_one_hypothesis_matches_at_most_one_gt():
+    """Stale correspondences can map two gt ids to the same hyp id; step 1
+    must stay one-to-one — double-matching inflated matches/MOTA (a single
+    hypothesis vs two present gts must score 1 match + 1 miss)."""
+    b = _box(0, 0)
+    b2 = _box(0.2, 0)  # overlaps b at IoU > 0.5
+    seq_gt = [
+        (np.stack([b]), np.array([1])),          # gt1 <-> h5
+        (np.stack([b2]), np.array([2])),         # gt1 absent; gt2 <-> h5
+        (np.stack([b, b2]), np.array([1, 2])),   # both present, one hypothesis
+    ]
+    seq_hyp = [(np.stack([b]), np.array([5]))] * 3
+    r = clear_mot(seq_gt, seq_hyp, iou_threshold=0.5)
+    assert r["matches"] == 3  # one per frame, never two in frame 3
+    assert r["misses"] == 1
+    assert r["MOTA"] == 1.0 - 1.0 / 4.0
+
+
 def test_clear_mot_miss_and_fp():
     seq_gt = [(np.stack([_box(0, 0)]), np.array([1]))]
     seq_hyp = [(np.stack([_box(50, 50)]), np.array([3]))]
