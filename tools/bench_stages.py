@@ -119,8 +119,50 @@ def main():
         b, s, keep = jax.vmap(nms)(deltas, scores)
         return checksum(b, s, keep)
 
-    names = ["null", "voxelize", "+encode", "+warp/fuse", "+decode/heads", "+cand/decode", "+nms"]
+    # DECODER_SUBSTAGES=1: split the decode/heads stage into per-decoder-stage
+    # prefixes (dec3 @32^2 ... dec0 @256^2, then head_conv, then the head
+    # matmul) — mirrors STPN.decode (models/backbone.py)
+    def decoder_prefix(variables, pts, trans, mask, upto):
+        bev = voxelize_occupy_jax(pts, cfg.voxel_size, cfg.area_extents)
+        m = model.bind(variables)
+        B, A = bev.shape[0], bev.shape[1]
+        x = agents_to_batch(bev.astype(jnp.float32))
+        feats = m.stpn.encode(x, False)
+        k = model.layer
+        fk = batch_to_agents(feats[k], B, A)
+        warped = warp_all_pairs(fk, trans, cfg.area_extents[:2])
+        fused = m.fuse(fk, warped, mask, False, trans=trans)
+        feats = list(feats)
+        feats[k] = agents_to_batch(fused)
+        x = feats[-1]
+        n_dec = len(m.stpn.dec)
+        for step, i in enumerate(reversed(range(n_dec))):
+            x = m.stpn.dec[i](x, feats[i], False)
+            if upto == step:
+                return checksum(x)
+        x = m.stpn.head_conv(x, False)
+        if upto == n_dec:
+            return checksum(x)
+        _, _, raw = m.heads(x)
+        return checksum(raw)
+
     args = (variables, jnp.asarray(pts), jnp.asarray(trans), jnp.asarray(mask))
+    if os.environ.get("DECODER_SUBSTAGES"):
+        prev = 0.0
+        for upto, name in enumerate(["dec3@32", "dec2@64", "dec1@128", "dec0@256", "head_conv", "heads"]):
+            fn = jax.jit(functools.partial(decoder_prefix, upto=upto))
+            for _ in range(WARMUP):
+                float(fn(*args))
+            t0 = time.perf_counter()
+            for _ in range(ITERS):
+                out = fn(*args)
+            float(out)
+            dt = (time.perf_counter() - t0) / ITERS
+            print(f"{name:>10}: cumulative {dt * 1e3:8.2f} ms  (+{(dt - prev) * 1e3:6.2f})", flush=True)
+            prev = dt
+        return
+
+    names = ["null", "voxelize", "+encode", "+warp/fuse", "+decode/heads", "+cand/decode", "+nms"]
     cum = []
     for upto, name in enumerate(names, start=-1):
         fn = jax.jit(functools.partial(stages, upto=upto))
