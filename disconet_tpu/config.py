@@ -101,6 +101,15 @@ class Config:
     # for geometries where the narrow stages dominate harder.
     block_space: bool = False
 
+    # Run decoder stage 0 in block-OUT form (ops/blockspace.py): each narrow
+    # conv becomes a stride-2 4x4 conv emitting 2x2 pixel blocks as channels
+    # (16/9 FLOPs, 4x output lanes), inputs/outputs stay natural NHWC. Exact
+    # rewrite; params/checkpoints identical. Measured on v5e at the reference
+    # geometry: dec0+head_conv chain 24.6 -> 19.1 ms (batch 16), unlike
+    # block_space whose input relayout + 4x structured-zero FLOPs lost wall
+    # time. Mutually exclusive with block_space.
+    block_out: bool = True
+
     # Segmentation (SURVEY.md C3): ~8 BEV semantic classes.
     num_seg_classes: int = 8
 

@@ -40,7 +40,16 @@ class ConvBNRelu(nn.Module):
       * 'block'            — stride-1 conv in 2x2 block space
                              (B, H/2, W/2, 4Cin) -> (B, H/2, W/2, 4*features);
       * 'block_to_natural' — the stride-2 stage-transition conv consuming block
-                             space and emitting natural half-res.
+                             space and emitting natural half-res;
+      * 'block_out'        — natural input (B, H, W, Cin) -> block output
+                             (B, H/2, W/2, 4*features) via a stride-2 4x4 conv
+                             (16/9 FLOPs, 4x output lanes — the fast layout
+                             for features <= 32 at full resolution);
+      * 'block_out_pair'   — ``x`` is a tuple (x_lo, skip): the conv the
+                             natural path applies to concat(up2(x_lo), skip),
+                             computed as conv_up_block_out(x_lo) +
+                             conv_block_out(skip) without materializing the
+                             upsample or the concat; block output.
     Params are canonical (k, k, Cin, features) in every mode, so block space is
     a pure runtime layout choice — checkpoints are mode-independent. BatchNorm
     in block mode reduces over the (4, C)-reshaped tile axis, which reproduces
@@ -54,28 +63,47 @@ class ConvBNRelu(nn.Module):
     dtype: str = "bfloat16"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False, mode: str = "natural") -> jnp.ndarray:
-        from disconet_tpu.ops.blockspace import conv_block_s1, conv_block_s2
+    def __call__(self, x, train: bool = False, mode: str = "natural") -> jnp.ndarray:
+        from disconet_tpu.ops.blockspace import (
+            conv_block_out,
+            conv_block_s1,
+            conv_block_s2,
+            conv_up_block_out,
+        )
 
         cdt = _dtype(self.dtype)
-        cin = x.shape[-1] // (4 if mode in ("block", "block_to_natural") else 1)
+        if mode == "block_out_pair":
+            cin = x[0].shape[-1] + x[1].shape[-1]
+        else:
+            cin = x.shape[-1] // (4 if mode in ("block", "block_to_natural") else 1)
         w = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
             (self.kernel, self.kernel, cin, self.features),
             jnp.float32,
         )
-        xc, wc = x.astype(cdt), w.astype(cdt)
-        if mode == "block":
+        # the block_out transforms take the canonical f32 kernel (tap sums
+        # stay f32; the compute-dtype cast happens after the transform)
+        if mode == "block_out_pair":
             assert self.stride == 1 and self.kernel == 3
-            x = conv_block_s1(xc, wc)
+            x_lo, skip = x
+            c_lo = x_lo.shape[-1]
+            x = conv_up_block_out(x_lo.astype(cdt), w[:, :, :c_lo]) + conv_block_out(
+                skip.astype(cdt), w[:, :, c_lo:]
+            )
+        elif mode == "block_out":
+            assert self.stride == 1 and self.kernel == 3
+            x = conv_block_out(x.astype(cdt), w)
+        elif mode == "block":
+            assert self.stride == 1 and self.kernel == 3
+            x = conv_block_s1(x.astype(cdt), w.astype(cdt))
         elif mode == "block_to_natural":
             assert self.stride == 2 and self.kernel == 3
-            x = conv_block_s2(xc, wc)
+            x = conv_block_s2(x.astype(cdt), w.astype(cdt))
         else:
             x = jax.lax.conv_general_dilated(
-                xc,
-                wc,
+                x.astype(cdt),
+                w.astype(cdt),
                 (self.stride, self.stride),
                 "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -89,7 +117,9 @@ class ConvBNRelu(nn.Module):
             dtype=jnp.float32,
             param_dtype=jnp.float32,
         )
-        if mode == "block":
+        if mode in ("block", "block_out", "block_out_pair"):
+            # the 4 block offsets partition the pixels, so reducing over the
+            # extra axis reproduces the natural per-channel statistics exactly
             B, P, Q, C4 = x.shape
             x = bn(x.astype(jnp.float32).reshape(B, P, Q, 4, self.features))
             x = x.reshape(B, P, Q, C4)
@@ -113,6 +143,17 @@ class _EncoderStage(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, mode: str = "natural", transition: bool = False):
+        from disconet_tpu.ops.blockspace import depth_to_space
+
+        if mode == "block_out":
+            # natural in/out; each conv runs as the stride-2 4x4 block-OUT
+            # rewrite (16/9 FLOPs, 4x output lanes) + cheap d2s of the small
+            # half-res output. Same params as natural (stage 0 only: stride 1).
+            assert self.stride == 1
+            x = ConvBNRelu(self.features, dtype=self.dtype)(x, train, mode="block_out")
+            x = depth_to_space(x)
+            x = ConvBNRelu(self.features, dtype=self.dtype)(x, train, mode="block_out")
+            return depth_to_space(x)
         first = "block_to_natural" if transition else mode
         x = ConvBNRelu(self.features, stride=self.stride, dtype=self.dtype)(x, train, mode=first)
         x = ConvBNRelu(self.features, dtype=self.dtype)(x, train, mode="natural" if transition else mode)
@@ -134,6 +175,18 @@ class _DecoderStage(nn.Module):
 
     @nn.compact
     def __call__(self, x, skip, train: bool = False, mode: str = "natural"):
+        from disconet_tpu.ops.blockspace import depth_to_space
+
+        if mode == "block_out":
+            # natural x (half-res) + natural skip -> both convs emit block
+            # layout (4x output lanes); d2s of the small outputs restores
+            # natural. Param shapes match the natural mode exactly.
+            y = ConvBNRelu(self.features, dtype=self.dtype)(
+                (x, skip), train, mode="block_out_pair"
+            )
+            y = depth_to_space(y)
+            y = ConvBNRelu(self.features, dtype=self.dtype)(y, train, mode="block_out")
+            return depth_to_space(y)
         if mode == "block":
             B, P, Q, Cx = x.shape
             Cs = skip.shape[-1] // 4
@@ -170,8 +223,23 @@ class STPN(nn.Module):
     # exact rewrite (ops/blockspace.py) that lifts the narrow 256^2 convs off
     # the MXU's 32-lane ceiling; feats[0] is then block-shaped internally
     block_space: bool = False
+    # run decoder stage 0's convs in block-OUT form (natural layouts at the
+    # stage boundary, block layout only inside): the stride-2 4x4 rewrite of
+    # ops/blockspace.py — measured faster than both natural and block_space
+    # at the reference geometry (see config.block_out)
+    block_out: bool = False
+    # apply the same rewrite to encoder stage 0 — measured NEGATIVE at the
+    # reference geometry (e2e 202 -> 191 scenes/s on v5e): the 13-channel BEV
+    # input conv gains nothing from 4x output lanes that XLA's own handling of
+    # the narrow input doesn't already get, and the two extra d2s relayouts
+    # cost wall time. Kept as a tested mode; default off.
+    block_out_encoder: bool = False
 
     def setup(self):
+        assert not (self.block_space and (self.block_out or self.block_out_encoder)), (
+            "block_space and block_out are alternative rewrites of the same "
+            "stage-0 convs; enable at most one"
+        )
         self.stages = [
             _EncoderStage(c, stride=(1 if i == 0 else 2), dtype=self.dtype)
             for i, c in enumerate(self.channels)
@@ -199,6 +267,8 @@ class STPN(nn.Module):
                 x = self.stages[0](space_to_depth(x), train, mode="block")
             elif self.block_space and i == 1:
                 x = self.stages[1](x, train, transition=True)
+            elif self.block_out_encoder and i == 0:
+                x = self.stages[0](x, train, mode="block_out")
             else:
                 x = self.stages[i](x, train)
             feats.append(x)
@@ -217,6 +287,8 @@ class STPN(nn.Module):
         for i in reversed(range(len(self.dec))):
             if self.block_space and i == 0:
                 x = depth_to_space(self.dec[0](x, feats[0], train, mode="block"))
+            elif self.block_out and i == 0:
+                x = self.dec[0](x, feats[0], train, mode="block_out")
             else:
                 x = self.dec[i](x, feats[i], train)
             kd_feats.append(x)
@@ -295,11 +367,17 @@ class SegHead(nn.Module):
 def make_stpn(config: Config, allow_block: bool = True) -> STPN:
     """``allow_block=False`` forces natural layout (e.g. fusion at layer 0,
     where the fused feature map must be spatially addressable)."""
+    block_space = allow_block and getattr(config, "block_space", False)
     return STPN(
         channels=tuple(config.backbone_channels),
         head_channels=config.head_channels,
         dtype=config.compute_dtype,
-        block_space=allow_block and getattr(config, "block_space", False),
+        block_space=block_space,
+        # block_out keeps every stage-boundary layout natural, so it composes
+        # with any fusion layer (no allow_block gate needed). An explicitly
+        # enabled block_space rewrites the same convs, so it takes precedence
+        # over the default-on block_out.
+        block_out=getattr(config, "block_out", False) and not block_space,
     )
 
 

@@ -18,6 +18,15 @@ The rewrites here are EXACT (same multiply-add set, reordered):
   stride-2 output reads pixels 2p..2p+2 under XLA's SAME padding = a 2x2 block
   window), with explicit (0, 1) high padding. This is how a block-space stage
   hands off to the next (natural) encoder stage for free.
+* stride-1 3x3 conv, NATURAL input -> BLOCK output ("block-out"): a stride-2
+  4x4 conv emitting each 2x2 output block as 4Cout channels. Only 16/9 the
+  FLOPs (vs 4x for the 3x3 block kernel) and no input relayout; the cheap
+  d2s of the small output restores natural layout. Measured the fastest
+  formulation for the Cout=32 decoder stage at 256^2 on v5e (chain of dec0's
+  two convs + head_conv: 24.6 -> 19.1 ms at batch 16). A conv consuming a 2x
+  nearest-UPSAMPLED input additionally collapses to a stride-1 3x3 conv on
+  the half-res input (taps hitting the same source pixel sum their weights),
+  so the upsample is never materialized either.
 
 BatchNorm in block space: reshape (..., 4C) -> (..., 4, C) and let the norm
 reduce over the extra axis — the four block offsets partition the original
@@ -128,6 +137,87 @@ def conv_block_s2(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
         block_weights_s2(w),
         (1, 1),
         ((0, 1), (0, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def block_out_weights(w: jnp.ndarray) -> jnp.ndarray:
+    """Stride-1 3x3 kernel (3, 3, Cin, Cout) -> (4, 4, Cin, 4Cout) stride-2
+    kernel emitting each 2x2 output block as channels (t = 2a+b, matching
+    :func:`space_to_depth` tile order).
+
+    Output block (p, q) offset (a, b) reads natural input rows 2p+a+u for
+    taps u in [-1, 1] — the union over offsets is the 4x4 window starting at
+    (2p-1, 2q-1), i.e. a stride-2 4x4 conv with ((1, 1), (1, 1)) padding.
+    Each offset uses 9 of the 16 taps (structured zeros): 16/9 the natural
+    FLOPs for 4x the output-lane utilization — a win for Cout <= 32, and
+    unlike the 3x3 block kernel above (4x FLOPs) the input stays natural, so
+    there is no space-to-depth materialization on the data path.
+    """
+    k, _, cin, cout = w.shape
+    assert k == 3, "block-out rewrite is derived for 3x3 kernels"
+    w4 = jnp.zeros((4, 4, cin, 4 * cout), w.dtype)
+    for a in range(2):
+        for b in range(2):
+            t = 2 * a + b
+            for u in (-1, 0, 1):
+                for v in (-1, 0, 1):
+                    w4 = w4.at[a + u + 1, b + v + 1, :, t * cout : (t + 1) * cout].set(
+                        w[u + 1, v + 1]
+                    )
+    return w4
+
+
+def up_block_out_weights(w: jnp.ndarray) -> jnp.ndarray:
+    """Stride-1 3x3 kernel (3, 3, Cin, Cout) applied to a 2x nearest-upsampled
+    input -> (3, 3, Cin, 4Cout) stride-1 SAME kernel on the HALF-RES input,
+    emitting 2x2 output blocks as channels.
+
+    Nearest upsampling repeats each source pixel 2x2, so the taps of output
+    pixel (2p+a, 2q+b) collapse onto source rows floor((2p+a+u)/2) in
+    {p-1, p, p+1}; taps landing on the same source pixel sum their weights
+    (exact — they multiply the identical value). The upsampled map is never
+    materialized.
+    """
+    k, _, cin, cout = w.shape
+    assert k == 3, "block-out rewrite is derived for 3x3 kernels"
+    w3 = jnp.zeros((3, 3, cin, 4 * cout), w.dtype)
+    for a in range(2):
+        for b in range(2):
+            t = 2 * a + b
+            for u in (-1, 0, 1):
+                s = (a + u) // 2  # python floor handles a+u = -1
+                for v in (-1, 0, 1):
+                    r = (b + v) // 2
+                    w3 = w3.at[s + 1, r + 1, :, t * cout : (t + 1) * cout].add(
+                        w[u + 1, v + 1]
+                    )
+    return w3
+
+
+def conv_block_out(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Stride-1 3x3 SAME conv, NATURAL input -> block output: x (B, H, W, Cin),
+    w canonical f32 (3, 3, Cin, Cout) -> (B, H/2, W/2, 4Cout).
+    Exact == s2d(conv(x, w, stride 1, SAME)); weights are transformed in the
+    param dtype (f32) before the compute-dtype cast so tap sums don't round."""
+    return jax.lax.conv_general_dilated(
+        x,
+        block_out_weights(w).astype(x.dtype),
+        (2, 2),
+        ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def conv_up_block_out(x_lo: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Stride-1 3x3 SAME conv over the 2x nearest-upsample of ``x_lo``, block
+    output: x_lo (B, P, Q, Cin), w canonical f32 (3, 3, Cin, Cout) ->
+    (B, P, Q, 4Cout). Exact == s2d(conv(up2(x_lo), w, stride 1, SAME))."""
+    return jax.lax.conv_general_dilated(
+        x_lo,
+        up_block_out_weights(w).astype(x_lo.dtype),
+        (1, 1),
+        "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
 
