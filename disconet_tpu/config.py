@@ -110,6 +110,17 @@ class Config:
     # time. Mutually exclusive with block_space.
     block_out: bool = True
 
+    # Storage dtype of the packed head output ("head_raw"). The head matmul
+    # always accumulates fp32; this only sets the dtype of the materialized
+    # (B*A, H, W, 48) tensor the predict path re-reads for candidate
+    # selection — bf16 halves that HBM round-trip (~1.2 GB -> 0.6 GB at the
+    # reference geometry, batch 16). Training never reads head_raw (the fp32
+    # cls/reg views are separate graph outputs and XLA dead-code-eliminates
+    # whichever the jitted step doesn't use), so losses/gradients are
+    # unaffected. Score/box effect: logits round to 8-bit mantissa before the
+    # sigmoid/decode (~0.4% relative), far below detection-threshold noise.
+    head_raw_dtype: str = "bfloat16"
+
     # Segmentation (SURVEY.md C3): ~8 BEV semantic classes.
     num_seg_classes: int = 8
 

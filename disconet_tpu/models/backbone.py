@@ -323,6 +323,9 @@ class DetectionHeads(nn.Module):
     num_classes: int
     box_code_size: int
     dtype: str = "bfloat16"
+    # storage dtype of the returned packed tensor (config.head_raw_dtype);
+    # the fp32 cls/reg views are always sliced from the fp32 accumulator
+    raw_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -349,7 +352,7 @@ class DetectionHeads(nn.Module):
         raw = raw + jnp.concatenate([b_cls_perm, b_reg])
         cls = raw[..., :n_cls].reshape(B, H, W, NC, NA).swapaxes(-1, -2)
         reg = raw[..., n_cls:].reshape(B, H, W, NA, code)
-        return cls, reg, raw
+        return cls, reg, raw.astype(_dtype(self.raw_dtype))
 
 
 class SegHead(nn.Module):
@@ -387,4 +390,5 @@ def make_heads(config: Config) -> DetectionHeads:
         num_classes=config.num_classes,
         box_code_size=config.box_code_size,
         dtype=config.compute_dtype,
+        raw_dtype=getattr(config, "head_raw_dtype", "float32"),
     )

@@ -114,7 +114,13 @@ def test_disconet_block_vs_natural(rng):
     from disconet_tpu.config import tiny_config
     from disconet_tpu.models import build_model
 
-    cfg_n = tiny_config(16, compute_dtype="float32", block_space=False)
+    cfg_n = tiny_config(
+        16,
+        compute_dtype="float32",
+        head_raw_dtype="float32",
+        block_space=False,
+        block_out=False,  # config default is True; the natural side must be natural
+    )
     cfg_b = dataclasses.replace(cfg_n, block_space=True)
     A = cfg_n.max_agents
     bev = rng.random((1, A, 16, 16, cfg_n.grid_size[2])).astype(np.float32)
@@ -192,7 +198,13 @@ def test_disconet_block_out_vs_natural(rng):
     from disconet_tpu.models import build_model
 
     for layer in (3, 0):
-        cfg_n = tiny_config(16, compute_dtype="float32", fusion_layer=layer)
+        cfg_n = tiny_config(
+            16,
+            compute_dtype="float32",
+            head_raw_dtype="float32",
+            fusion_layer=layer,
+            block_out=False,  # config default is True; pin the natural baseline
+        )
         cfg_b = dataclasses.replace(cfg_n, block_out=True)
         A = cfg_n.max_agents
         bev = rng.random((1, A, 16, 16, cfg_n.grid_size[2])).astype(np.float32)

@@ -61,15 +61,37 @@ def test_train_resume_test_track_cycle(data_root, tmp_path):
                     "--resume", os.path.join(logs, "lowerbound", "epoch_2.pth")])
     assert "loaded checkpoint" in out_pth
 
-    # padding invariance: 3 frames at batch 2 (padded tail) == batch 1, and
-    # --resume may point at the log dir (ckpt/ resolution)
+    # padding robustness: 3 frames at batch 2 (padded tail) ~= batch 1, and
+    # --resume may point at the log dir (ckpt/ resolution). NOT exact: XLA's
+    # CPU conv codegen is not bitwise batch-size-invariant (f32-LSB / one
+    # bf16-ULP head-output differences between the batch-1 and batch-2
+    # graphs), so a marginal detection can flip across a score/IoU threshold.
+    # The *no-leak* contract (pad frame never affects real frames at a fixed
+    # batch shape) is bitwise and lives in
+    # test_training.py::test_pad_frame_does_not_leak.
     def _map_table(s):
-        return [ln for ln in s.splitlines() if "|" in ln]
+        rows = []
+        for ln in s.splitlines():
+            if "|" not in ln:
+                continue
+            cols = [c.strip() for c in ln.split("|")]
+            rows.append(cols)
+        return rows
 
     out_b1 = _run(["tools/det/test_codet.py", "--data", data_root, "--grid", "32",
                    "--batch", "1", "--logpath", logs, "--bound", "lowerbound",
                    "--resume", os.path.join(logs, "lowerbound")])
-    assert _map_table(out_b1) == _map_table(out), (out_b1, out)
+    t1, t2 = _map_table(out_b1), _map_table(out)
+    assert len(t1) == len(t2) and len(t1) > 0, (out_b1, out)
+    for r1, r2 in zip(t1, t2):
+        assert r1[0] == r2[0], (r1, r2)  # agent label
+        if r1[0] == "agent":  # header row
+            continue
+        assert abs(float(r1[1]) - float(r2[1])) <= 0.02, (r1, r2)  # mAP@0.5
+        assert abs(float(r1[2]) - float(r2[2])) <= 0.02, (r1, r2)  # mAP@0.7
+        assert r1[3] == r2[3], (r1, r2)  # GT count is data, must be exact
+        det_tol = 6 if r1[0] == "average" else 2  # average sums per-agent flips
+        assert abs(int(r1[4]) - int(r2[4])) <= det_tol, (r1, r2)
 
     # SORT + CLEAR-MOT over the dumps
     det_dir = os.path.join(logs, "det_dumps")

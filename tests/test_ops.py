@@ -248,6 +248,31 @@ class TestNMS:
             np.asarray(reg), atol=1e-6,
         )
 
+    def test_heads_raw_bf16_storage(self):
+        """raw_dtype='bfloat16' (the config default): the packed tensor is a
+        bf16 *storage* cast of the fp32 accumulator — cls/reg views stay fp32
+        and raw matches them to bf16 rounding (relative 2^-8)."""
+        from disconet_tpu.models.backbone import DetectionHeads
+
+        rng = np.random.default_rng(22)
+        heads = DetectionHeads(
+            num_anchors=6, num_classes=2, box_code_size=6, raw_dtype="bfloat16"
+        )
+        x = jnp.asarray(rng.standard_normal((2, 8, 8, 32)).astype(np.float32))
+        variables = heads.init(jax.random.PRNGKey(0), x)
+        cls, reg, raw = heads.apply(variables, x)
+        assert raw.dtype == jnp.bfloat16
+        assert cls.dtype == jnp.float32 and reg.dtype == jnp.float32
+        NA = 6
+        np.testing.assert_allclose(
+            np.asarray(raw[..., NA : 2 * NA], dtype=np.float32),
+            np.asarray(cls[..., 1]), rtol=2 ** -8, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(raw[..., 2 * NA :].reshape(2, 8, 8, 6, 6), dtype=np.float32),
+            np.asarray(reg), rtol=2 ** -8, atol=1e-6,
+        )
+
     @pytest.mark.parametrize(
         "H,W,NA,top_k", [(8, 8, 6, 64), (2, 2, 2, 64)]  # 2nd: H*W*NA < top_k (padding)
     )

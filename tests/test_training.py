@@ -137,6 +137,32 @@ def test_eval_and_predict_steps():
     assert keep.shape == (B, A, K)
 
 
+def test_pad_frame_does_not_leak():
+    """A padded (zero, all-masked) tail frame must not change real frames'
+    predictions AT ALL — compared bitwise at a fixed batch shape (same
+    compiled graph), which is the sound form of the padding contract.
+    (Bitwise equality ACROSS batch shapes does not hold: XLA specializes conv
+    codegen per shape, so batch-1 vs batch-2 head outputs differ in f32 LSBs —
+    see test_cli_integration.py's tolerance-based table comparison.)"""
+    from disconet_tpu.data.dataset import pad_batch_to
+
+    base = _batch()
+    model = build_model("disco", CFG)
+    state = create_train_state(model, CFG, jax.random.PRNGKey(0), base)
+    pr = make_predict_step(model, CFG)
+
+    # scene 0 real in both; scene 1 is a real scene in one run and a zero,
+    # fully-masked pad row in the other
+    padded = pad_batch_to({k: np.asarray(v)[:1] for k, v in base.items()}, B, A)
+    assert not padded["agent_mask"][1].any()
+    o_real = [np.asarray(v) for v in pr(state, batch_to_device(base))]
+    o_pad = [np.asarray(v) for v in pr(state, batch_to_device(padded))]
+    for name, a, b in zip(("boxes", "scores", "keep"), o_real, o_pad):
+        np.testing.assert_array_equal(a[0], b[0], err_msg=name)
+    # and the pad row reports zero detections
+    assert not o_pad[2][1].any()
+
+
 def test_pth_bridge_roundtrip(tmp_path):
     from disconet_tpu.training.checkpoint import load_pth, save_pth
 
