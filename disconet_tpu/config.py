@@ -110,6 +110,16 @@ class Config:
     # time. Mutually exclusive with block_space.
     block_out: bool = True
 
+    # Apply the same block-OUT rewrite to decoder stage 1 (64 channels at
+    # 128^2 — half the MXU's 128 lanes in natural layout). Exact rewrite,
+    # checkpoints unchanged; requires block_out (it shares the dispatch).
+    # Measured NEGATIVE at the reference geometry on v5e (211.4 -> ~209
+    # scenes/s e2e): at 64 output channels the natural conv already fills
+    # half the lanes and XLA batches the two half-tiles well, so the 16/9
+    # FLOPs of the 4x4 rewrite cost more than the lane win saves. Kept as a
+    # tested mode for narrower geometries; default off.
+    block_out_dec1: bool = False
+
     # Storage dtype of the packed head output ("head_raw"). The head matmul
     # always accumulates fp32; this only sets the dtype of the materialized
     # (B*A, H, W, 48) tensor the predict path re-reads for candidate

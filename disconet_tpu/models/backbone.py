@@ -228,6 +228,8 @@ class STPN(nn.Module):
     # ops/blockspace.py — measured faster than both natural and block_space
     # at the reference geometry (see config.block_out)
     block_out: bool = False
+    # extend block-OUT to decoder stage 1 (64ch at half the lane width)
+    block_out_dec1: bool = False
     # apply the same rewrite to encoder stage 0 — measured NEGATIVE at the
     # reference geometry (e2e 202 -> 191 scenes/s on v5e): the 13-channel BEV
     # input conv gains nothing from 4x output lanes that XLA's own handling of
@@ -287,8 +289,8 @@ class STPN(nn.Module):
         for i in reversed(range(len(self.dec))):
             if self.block_space and i == 0:
                 x = depth_to_space(self.dec[0](x, feats[0], train, mode="block"))
-            elif self.block_out and i == 0:
-                x = self.dec[0](x, feats[0], train, mode="block_out")
+            elif self.block_out and (i == 0 or (i == 1 and self.block_out_dec1)):
+                x = self.dec[i](x, feats[i], train, mode="block_out")
             else:
                 x = self.dec[i](x, feats[i], train)
             kd_feats.append(x)
@@ -381,6 +383,7 @@ def make_stpn(config: Config, allow_block: bool = True) -> STPN:
         # enabled block_space rewrites the same convs, so it takes precedence
         # over the default-on block_out.
         block_out=getattr(config, "block_out", False) and not block_space,
+        block_out_dec1=getattr(config, "block_out_dec1", False) and not block_space,
     )
 
 

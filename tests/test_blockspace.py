@@ -205,7 +205,8 @@ def test_disconet_block_out_vs_natural(rng):
             fusion_layer=layer,
             block_out=False,  # config default is True; pin the natural baseline
         )
-        cfg_b = dataclasses.replace(cfg_n, block_out=True)
+        # dec1 block-OUT shares the dispatch: exercise it together with dec0
+        cfg_b = dataclasses.replace(cfg_n, block_out=True, block_out_dec1=True)
         A = cfg_n.max_agents
         bev = rng.random((1, A, 16, 16, cfg_n.grid_size[2])).astype(np.float32)
         trans = np.tile(np.eye(4, dtype=np.float32), (1, A, A, 1, 1))
