@@ -329,18 +329,23 @@ def pipeline_one_deep(batches, dispatch, fetch=None):
 def prefetch_to_device(batches, to_device=batch_to_device, depth: int = 2):
     """Wrap a host-batch iterator so host->device transfers run ahead.
 
-    ``jax.device_put`` is asynchronous; issuing the transfer of batch n+1
-    before consuming batch n overlaps the (slow, CLAUDE.md) host->device link
-    with the device executing step n. ``to_device`` defaults to
+    Transfers run on a dedicated thread: over the axon tunnel ``device_put``
+    consumes the *calling* thread for the full wire time (~70 MB/s measured,
+    bandwidth- not latency-bound), so issuing it from the training thread
+    serializes transfer behind step dispatch even though the API is nominally
+    async. A single background thread restores the overlap (device_put
+    releases the GIL while the bytes move). ``to_device`` defaults to
     :func:`batch_to_device`; pass ``functools.partial(shard_batch, mesh=mesh)``
     for the multi-device path.
     """
     from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
 
-    buf = deque()
-    for b in batches:
-        buf.append(to_device(b))
-        if len(buf) >= depth:
-            yield buf.popleft()
-    while buf:
-        yield buf.popleft()
+    with ThreadPoolExecutor(1) as pool:
+        buf = deque()
+        for b in batches:
+            buf.append(pool.submit(to_device, b))
+            if len(buf) >= depth:
+                yield buf.popleft().result()
+        while buf:
+            yield buf.popleft().result()
