@@ -276,23 +276,29 @@ class STPN(nn.Module):
             feats.append(x)
         return feats
 
+    def decode_step(self, x, feats, i: int, train: bool = False):
+        """One decoder stage with the layout-mode dispatch (block_space /
+        block_out / natural). The single source of truth for which rewrite a
+        stage runs — profiling tools call this per stage so their attribution
+        cannot diverge from :meth:`decode`."""
+        from disconet_tpu.ops.blockspace import depth_to_space
+
+        if self.block_space and i == 0:
+            return depth_to_space(self.dec[0](x, feats[0], train, mode="block"))
+        if self.block_out and (i == 0 or (i == 1 and self.block_out_dec1)):
+            return self.dec[i](x, feats[i], train, mode="block_out")
+        return self.dec[i](x, feats[i], train)
+
     def decode(self, feats, train: bool = False):
         """Skip-decoder over the stage list -> (head_input, kd_feature_list).
 
         kd features are the decoder outputs coarse->fine plus the head input —
         the per-pixel distillation targets (SURVEY.md §4.3).
         """
-        from disconet_tpu.ops.blockspace import depth_to_space
-
         x = feats[-1]
         kd_feats = []
         for i in reversed(range(len(self.dec))):
-            if self.block_space and i == 0:
-                x = depth_to_space(self.dec[0](x, feats[0], train, mode="block"))
-            elif self.block_out and (i == 0 or (i == 1 and self.block_out_dec1)):
-                x = self.dec[i](x, feats[i], train, mode="block_out")
-            else:
-                x = self.dec[i](x, feats[i], train)
+            x = self.decode_step(x, feats, i, train)
             kd_feats.append(x)
         head_in = self.head_conv(x, train)
         kd_feats.append(head_in)

@@ -137,12 +137,7 @@ def main():
         x = feats[-1]
         n_dec = len(m.stpn.dec)
         for step, i in enumerate(reversed(range(n_dec))):
-            # mirror STPN.decode's layout dispatch (backbone.py) so the
-            # attribution matches what bench.py actually runs
-            if m.stpn.block_out and i == 0:
-                x = m.stpn.dec[0](x, feats[0], False, mode="block_out")
-            else:
-                x = m.stpn.dec[i](x, feats[i], False)
+            x = m.stpn.decode_step(x, feats, i, False)
             if upto == step:
                 return checksum(x)
         x = m.stpn.head_conv(x, False)

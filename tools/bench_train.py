@@ -29,7 +29,6 @@ from disconet_tpu.utils.env import setup as _env_setup
 
 _env_setup()
 
-import numpy as np
 
 
 def main(argv=None):
@@ -89,11 +88,15 @@ def main(argv=None):
     n = args.steps
     report = {"batch": args.batch, "com": args.com, "kd": args.kd_flag}
 
-    # warm the item cache + compile first so phases time steady state
+    # warm the item cache + compile first so phases time steady state; the
+    # host phase must see the same warm cache e2e does, so pre-walk the same
+    # n batches it will time (V2XSimDet cache_items holds the .npy items)
     warm = next(host_batches(1).__iter__())
     dev_warm = batch_to_device(warm)
     state, m = train_step(state, dev_warm, teacher_vars)
     float(m["loss"])
+    for _ in host_batches(n):
+        pass
 
     # host: batch assembly only
     t0 = time.perf_counter()

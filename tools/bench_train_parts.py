@@ -100,14 +100,9 @@ def main(argv=None):
     t_fwd = timeit("forward(loss)", lambda: fwd(state.params, state.batch_stats, batch))
     t_bwd = timeit("value_and_grad", lambda: vgrad(state.params, state.batch_stats, batch))
 
-    # full step mutates donated state: rebuild per run from a kept host copy
+    # full step donates its state argument, so put a fresh device copy and
+    # thread the updated state through the timing loop
     state0 = jax.tree.map(np.asarray, state)
-
-    def run_full():
-        s = jax.device_put(state0)
-        return full(s, batch)
-
-    # time full differently: keep threading state through to amortize the put
     s = jax.device_put(state0)
     out = full(s, batch)
     s, m = out
