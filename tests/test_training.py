@@ -100,6 +100,40 @@ def test_prefetch_to_device_order():
     assert [int(b["agent_mask"][0, 0]) for b in out] == list(range(5))
 
 
+def test_prefetch_to_device_propagates_transfer_errors():
+    """to_device runs on a worker thread; its exceptions must surface in the
+    consuming loop, not be swallowed by the pool."""
+    from disconet_tpu.training import prefetch_to_device
+
+    def bad_to_device(b):
+        raise RuntimeError("transfer failed")
+
+    import pytest
+
+    with pytest.raises(RuntimeError, match="transfer failed"):
+        list(prefetch_to_device(iter([{"x": 1}]), to_device=bad_to_device))
+
+
+def test_prefetch_to_device_early_close_joins_worker():
+    """Abandoning the generator mid-iteration must shut the transfer thread
+    down (no dangling in-flight to_device after close)."""
+    import threading
+
+    from disconet_tpu.training import prefetch_to_device
+
+    started = []
+
+    def slow_to_device(b):
+        started.append(threading.get_ident())
+        return b
+
+    gen = prefetch_to_device(iter([{"i": i} for i in range(10)]), to_device=slow_to_device, depth=2)
+    first = next(gen)
+    assert first == {"i": 0}
+    gen.close()  # GeneratorExit inside the with-block -> pool shutdown joins
+    assert all(t != threading.get_ident() for t in started)  # ran off-thread
+
+
 def test_kd_train_step():
     batch = _batch()
     model = build_model("disco", CFG, kd_flag=True)
