@@ -47,4 +47,7 @@ class DiscoNet(IntermediateFusionModel):
         scores = self.weight_net(pair.reshape(B * Ar * As, h, w, 2 * C), train)
         scores = scores.reshape(B, Ar, As, h, w)
         weights = sender_softmax(scores, agent_mask)  # (B, Ar, As, h, w)
+        # expose the DiscoGraph W_j->i maps (img.png d-e heat-maps): a no-op
+        # unless the caller applies with mutable=["intermediates"]
+        self.sow("intermediates", "edge_weights", weights)
         return jnp.sum(weights[..., None] * warped, axis=2)  # (B, A, h, w, C)

@@ -49,3 +49,32 @@ def render_bev(cfg: Config, bev, gt_boxes=None, det_boxes=None, det_scores=None)
     ax.set_ylabel("y [m]")
     fig.tight_layout()
     return fig
+
+
+def render_edge_weights(weights, agent_mask, receiver: int):
+    """DiscoGraph heat-map panel for one receiver (reference img.png d-e).
+
+    ``weights``: (A_send, h, w) per-pixel W_j->receiver maps (one receiver row
+    of DiscoNet's softmaxed edge weights, obtainable via
+    ``model.apply(..., mutable=["intermediates"])``). One subplot per *present*
+    sender, shared [0, 1] color scale — the self-edge is the panel where
+    j == receiver.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    weights = np.asarray(weights)
+    mask = np.asarray(agent_mask).astype(bool)
+    senders = [j for j in range(weights.shape[0]) if mask[j]]
+    fig, axes = plt.subplots(1, max(len(senders), 1), figsize=(3 * max(len(senders), 1), 3))
+    axes = np.atleast_1d(axes)
+    for ax, j in zip(axes, senders):
+        im = ax.imshow(weights[j].T, origin="lower", cmap="viridis", vmin=0.0, vmax=1.0)
+        tag = " (self)" if j == receiver else ""
+        ax.set_title(f"$W_{{{j}\\to{receiver}}}${tag}", fontsize=9)
+        ax.set_xticks([])
+        ax.set_yticks([])
+    fig.colorbar(im, ax=list(axes), fraction=0.025)
+    return fig

@@ -122,3 +122,37 @@ def test_teacher_loads_fafnet_params():
     fv = faf.init(jax.random.PRNGKey(0), bev, None, mask, train=False)
     out = teacher.apply(fv, bev, None, mask, train=False)  # params fit directly
     assert "kd_feats" in out
+
+
+def test_disco_edge_weights_intermediate():
+    """DiscoNet sows the per-pixel DiscoGraph weights: shape (B, Ar, As, h, w),
+    softmax-normalized over present senders, exactly zero for absent ones
+    (the img.png d-e heat-map data, retrieved via mutable intermediates)."""
+    bev, trans, mask = _inputs(agents_present=3)
+    model = build_model("disco", CFG)
+    variables = model.init(jax.random.PRNGKey(0), bev, trans, mask, train=False)
+    _, inter = model.apply(
+        variables, bev, trans, mask, train=False, mutable=["intermediates"]
+    )
+    w = np.asarray(inter["intermediates"]["edge_weights"][0], np.float32)
+    k = CFG.fusion_layer
+    h = H >> k
+    assert w.shape == (B, A, A, h, h)
+    present = np.asarray(mask[0])
+    # per-pixel softmax over senders: sums to 1 for present receivers
+    sums = w[0, present].sum(axis=1)
+    np.testing.assert_allclose(sums, np.ones_like(sums), atol=1e-5)
+    # absent senders carry exactly zero weight
+    assert np.all(w[0][:, ~present] == 0.0)
+
+
+def test_render_edge_weights_figure(tmp_path):
+    from disconet_tpu.utils.visualization import render_edge_weights
+
+    rng = np.random.default_rng(0)
+    w = rng.random((A, 8, 8)).astype(np.float32)
+    mask = np.array([True, True, True, False])
+    fig = render_edge_weights(w, mask, receiver=1)
+    out = tmp_path / "edge.png"
+    fig.savefig(str(out))
+    assert out.stat().st_size > 5000

@@ -126,7 +126,11 @@ def main(argv=None):
     )
 
     n_frames = 0
+    edge_dumped = False
     for batch, (boxes, scores, keep) in predictions:
+        if args.visualization and args.com == "disco" and not edge_dumped:
+            _render_edge_weights(args, cfg, model, state, batch)
+            edge_dumped = True
         B = int(np.sum(np.any(batch["agent_mask"], axis=1)))
         for b in range(B):
             scene, frame = (int(x) for x in batch["scene_frame"][b])
@@ -204,6 +208,42 @@ def _render(args, cfg, batch, b, a, scene, frame, d_boxes, d_scores):
     fig = render_bev(cfg, get_bev_np(batch, "bev", cfg)[b, a], batch["gt_boxes"][b][a], d_boxes, d_scores)
     fig.savefig(os.path.join(out_dir, f"s{scene}_f{frame}_a{a}.png"), dpi=100)
     plt.close(fig)
+
+
+def _render_edge_weights(args, cfg, model, state, batch):
+    """DiscoGraph W_j->i heat-maps for the first batch's first scene-frame —
+    the reference qualitative figure's panels d-e (img.png). One png per
+    present receiver, one subplot per present sender."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from disconet_tpu.training.det_module import get_bev
+    from disconet_tpu.utils.visualization import render_edge_weights
+
+    @jax.jit
+    def edge_weights(state, batch):
+        _, inter = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            get_bev(batch, "bev", cfg),
+            batch["trans"],
+            batch["agent_mask"],
+            train=False,
+            mutable=["intermediates"],
+        )
+        return inter["intermediates"]["edge_weights"][0]
+
+    w = np.asarray(edge_weights(state, batch_to_device(batch)))  # (B, Ar, As, h, w)
+    out_dir = os.path.join(args.logpath, "vis")
+    os.makedirs(out_dir, exist_ok=True)
+    b = 0
+    scene, frame = (int(x) for x in batch["scene_frame"][b])
+    mask = np.asarray(batch["agent_mask"][b]).astype(bool)
+    for recv in np.flatnonzero(mask):
+        fig = render_edge_weights(w[b, recv], mask, int(recv))
+        fig.savefig(os.path.join(out_dir, f"edge_w_s{scene}_f{frame}_a{recv}.png"), dpi=100)
+        plt.close(fig)
 
 
 if __name__ == "__main__":
