@@ -51,6 +51,39 @@ def render_bev(cfg: Config, bev, gt_boxes=None, det_boxes=None, det_scores=None)
     return fig
 
 
+def render_seg(pred, label=None, num_classes: int = 8, class_names=None):
+    """Predicted (and optionally ground-truth) BEV segmentation panel.
+
+    ``pred``/``label``: (H, W) int class ids. Categorical tab10 colors with a
+    shared legend — the reference seg tooling's colored-BEV style.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib import colors as mcolors
+    from matplotlib.patches import Patch
+
+    cmap = plt.get_cmap("tab10", num_classes)
+    norm = mcolors.BoundaryNorm(np.arange(num_classes + 1) - 0.5, num_classes)
+    panels = [("prediction", np.asarray(pred))]
+    if label is not None:
+        panels.append(("ground truth", np.asarray(label)))
+    fig, axes = plt.subplots(1, len(panels), figsize=(5 * len(panels), 5))
+    for ax, (title, img) in zip(np.atleast_1d(axes), panels):
+        ax.imshow(img.T, origin="lower", cmap=cmap, norm=norm, interpolation="nearest")
+        ax.set_title(title)
+        ax.set_xticks([])
+        ax.set_yticks([])
+    if class_names:
+        fig.legend(
+            handles=[Patch(color=cmap(c), label=n) for c, n in enumerate(class_names)],
+            loc="lower center", ncol=min(len(class_names), 4), fontsize=8,
+        )
+    fig.tight_layout(rect=(0, 0.12 if class_names else 0, 1, 1))
+    return fig
+
+
 def render_edge_weights(weights, agent_mask, receiver: int):
     """DiscoGraph heat-map panel for one receiver (reference img.png d-e).
 

@@ -24,3 +24,16 @@ def test_render_bev_empty_boxes():
     bev = np.zeros(cfg.bev_shape, np.float32)
     fig = render_bev(cfg, bev, np.zeros((0, 5)), np.zeros((0, 5)), np.zeros(0))
     assert fig is not None
+
+
+def test_render_seg_writes_png(tmp_path):
+    from disconet_tpu.utils.visualization import render_seg
+
+    rng = np.random.default_rng(0)
+    pred = rng.integers(0, 8, (32, 32))
+    label = rng.integers(0, 8, (32, 32))
+    fig = render_seg(pred, label, num_classes=8,
+                     class_names=["bg", "veh", "road", "ter", "side", "bld", "ped", "veg"])
+    out = tmp_path / "seg.png"
+    fig.savefig(str(out))
+    assert out.stat().st_size > 5000

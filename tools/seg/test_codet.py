@@ -39,6 +39,9 @@ def main(argv=None):
     p.add_argument("--rsu", type=int, default=1)
     p.add_argument("--layer", type=int, default=3)
     p.add_argument("--grid", type=int, default=256)
+    p.add_argument("--visualization", type=int, default=0,
+                   help="render pred-vs-gt seg panels for the first batch")
+    p.add_argument("--logpath", type=str, default="logs", help="--visualization output dir")
     args = p.parse_args(argv)
 
     cfg = Config(fusion_layer=args.layer) if args.grid == 256 else tiny_config(args.grid, fusion_layer=args.layer)
@@ -76,11 +79,15 @@ def main(argv=None):
     )
 
     preds, labels, masks = [], [], []
+    vis_done = False
     for batch, pr in predictions:
         m = batch["agent_mask"][:, :, None, None]  # padded rows are all-False → excluded
         preds.append(pr)
         labels.append(batch["seg_label"])
         masks.append(np.broadcast_to(m, pr.shape))
+        if args.visualization and not vis_done:
+            _render_seg_batch(args, cfg, batch, pr)
+            vis_done = True
 
     res = iou_per_class(np.concatenate(preds), np.concatenate(labels),
                         cfg.num_seg_classes, mask=np.concatenate(masks))
@@ -92,6 +99,27 @@ def main(argv=None):
     print("-" * 22)
     print(f"{'mIoU':>12} | {res['miou']:.4f}")
     return res
+
+
+def _render_seg_batch(args, cfg, batch, pr):
+    """Pred-vs-gt colored seg panels for the first batch's first scene-frame,
+    one png per present agent (reference seg tooling's qualitative output)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from disconet_tpu.utils.visualization import render_seg
+
+    out_dir = os.path.join(args.logpath, "vis")
+    os.makedirs(out_dir, exist_ok=True)
+    b = 0
+    scene, frame = (int(x) for x in batch["scene_frame"][b])
+    for a in np.flatnonzero(np.asarray(batch["agent_mask"][b]).astype(bool)):
+        fig = render_seg(pr[b, a], batch["seg_label"][b, a],
+                         num_classes=cfg.num_seg_classes, class_names=CLASS_NAMES)
+        fig.savefig(os.path.join(out_dir, f"seg_s{scene}_f{frame}_a{a}.png"), dpi=100)
+        plt.close(fig)
 
 
 if __name__ == "__main__":
