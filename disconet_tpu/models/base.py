@@ -132,6 +132,14 @@ class IntermediateFusionModel(nn.Module):
     def setup_fusion(self):  # overridable hook for fusion-specific submodules
         pass
 
+    @property
+    def layer_channels(self) -> int:
+        """Channel width of the features fused at THIS model's ``layer`` —
+        unlike ``config.fusion_channels`` (keyed to ``config.fusion_layer``),
+        this stays correct when ``build_model(..., layer=k)`` overrides it."""
+        ch = self.config.backbone_channels
+        return ch[min(self.layer, len(ch) - 1)]
+
     def fuse(
         self,
         feats_k: jnp.ndarray,  # (B, A, h, w, C) layer-k features
@@ -154,9 +162,10 @@ class IntermediateFusionModel(nn.Module):
         feats = self.stpn.encode(x, train)
 
         k = self.layer
-        # keep the fusion-layer features in their compute dtype (bf16): the
-        # all-pairs warp is gather-bound and an f32 cast would double its HBM
-        # traffic; the bilinear tap weights/accumulation stay f32 (ops/warp.py)
+        # fusion-layer features arrive f32: ConvBNRelu deliberately emits f32
+        # (backbone.py — bf16 outputs measured neutral on TPU and break CPU
+        # shard_map dot lowering), so the all-pairs warp runs on f32 maps; the
+        # bilinear tap weights/accumulation are f32 either way (ops/warp.py)
         fk = batch_to_agents(feats[k], B, A)
         extent = self.config.area_extents[:2]
         warped = warp_all_pairs(fk, trans, extent)  # (B, Ar, As, h, w, C)

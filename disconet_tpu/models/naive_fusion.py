@@ -39,9 +39,7 @@ class CatFusion(IntermediateFusionModel):
     and project back to C with a 3x3 ConvBNRelu — reference CatFusion."""
 
     def setup_fusion(self):
-        self.cat_proj = ConvBNRelu(
-            self.config.fusion_channels, dtype=self.config.compute_dtype
-        )
+        self.cat_proj = ConvBNRelu(self.layer_channels, dtype=self.config.compute_dtype)
 
     def fuse(self, feats_k, warped, agent_mask, train, trans=None):
         B, Ar, As, h, w, C = warped.shape

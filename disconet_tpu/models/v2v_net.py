@@ -54,7 +54,7 @@ class V2VNet(IntermediateFusionModel):
     rounds: int = 3
 
     def setup_fusion(self):
-        C = self.config.fusion_channels
+        C = self.layer_channels
         self.msg_conv = nn.Conv(C, (3, 3), padding="SAME", param_dtype=jnp.float32)
         self.gru = ConvGRU(C)
 

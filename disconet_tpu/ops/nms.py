@@ -41,7 +41,7 @@ def foreground_scores(cls_logits: jnp.ndarray) -> jnp.ndarray:
     return 1.0 - jax.nn.softmax(cls_logits, axis=-1)[..., 0]
 
 
-def packed_scores_and_deltas(raw: jnp.ndarray, num_anchors: int):
+def packed_scores_and_deltas(raw: jnp.ndarray, num_anchors: int, box_code_size: int = 6):
     """Split a DetectionHeads raw packed tensor into (scores, packed deltas).
 
     ``raw`` is (..., NA*2 + NA*code) in the class-major layout emitted by
@@ -52,6 +52,13 @@ def packed_scores_and_deltas(raw: jnp.ndarray, num_anchors: int):
     This is THE coupling point to the head layout — keep all consumers here.
     """
     NA = num_anchors
+    if raw.shape[-1] != NA * (2 + box_code_size):
+        raise ValueError(
+            f"packed head tensor has {raw.shape[-1]} channels, expected "
+            f"NA*(2 + {box_code_size}) = {NA * (2 + box_code_size)} — this "
+            "helper assumes the binary-class layout (guard on "
+            "config.num_classes == 2 before calling)"
+        )
     scores = jax.nn.sigmoid(
         raw[..., NA : 2 * NA].astype(jnp.float32) - raw[..., :NA].astype(jnp.float32)
     )

@@ -156,3 +156,15 @@ def test_render_edge_weights_figure(tmp_path):
     out = tmp_path / "edge.png"
     fig.savefig(str(out))
     assert out.stat().st_size > 5000
+
+
+@pytest.mark.parametrize("com", ["v2v", "cat"])
+def test_layer_override_channel_sync(com):
+    """build_model(..., layer=k) must size fusion submodules from the actual
+    layer-k feature width, not config.fusion_layer's (regression: ConvGRU /
+    CatFusion projection crashed when layer != config.fusion_layer)."""
+    bev, trans, mask = _inputs()
+    model = build_model(com, CFG, layer=2)  # CFG.fusion_layer stays 3
+    variables = model.init(jax.random.PRNGKey(0), bev, trans, mask, train=False)
+    out = model.apply(variables, bev, trans, mask, train=False)
+    assert out["cls"].shape == (B, A, H, W, CFG.num_anchors, CFG.num_classes)
