@@ -24,12 +24,55 @@ from typing import Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from disconet_tpu.config import Config
 
 
 def _dtype(name: str):
     return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm whose batch statistics exclude masked-out leading rows.
+
+    The fusion scorers run on the (B*Ar*As)-folded pair batch, which includes
+    padded (absent-agent) pairs; the reference's python loop only ever
+    evaluates real pairs, so unmasked statistics would drift from reference
+    training semantics (its outputs for masked rows are garbage — callers mask
+    them downstream). Parameter/variable names match flax ``nn.BatchNorm``
+    ('scale'/'bias', batch_stats 'mean'/'var') so checkpoint trees are
+    interchangeable with the unmasked module.
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, mask=None, use_running_average: bool = False):
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((C,), jnp.float32))
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            red = tuple(range(x.ndim - 1))
+            if mask is None:
+                mean = jnp.mean(x, axis=red)
+                var = jnp.mean(jnp.square(x), axis=red) - jnp.square(mean)
+            else:
+                m = mask.astype(jnp.float32).reshape(
+                    (x.shape[0],) + (1,) * (x.ndim - 1)
+                )
+                cnt = jnp.sum(m) * float(np.prod(x.shape[1:-1]))
+                mean = jnp.sum(x * m, axis=red) / cnt
+                var = jnp.sum(jnp.square(x) * m, axis=red) / cnt - jnp.square(mean)
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1.0 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1.0 - self.momentum) * var
+        return scale * (x - mean) * jax.lax.rsqrt(var + self.epsilon) + bias
 
 
 class ConvBNRelu(nn.Module):
@@ -61,9 +104,15 @@ class ConvBNRelu(nn.Module):
     kernel: int = 3
     stride: int = 1
     dtype: str = "bfloat16"
+    # True -> BatchNorm statistics exclude rows where sample_mask is False
+    # (fusion scorers on the folded pair batch; see MaskedBatchNorm). The
+    # choice is structural so train and eval share one module tree.
+    masked_bn: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False, mode: str = "natural") -> jnp.ndarray:
+    def __call__(
+        self, x, train: bool = False, mode: str = "natural", sample_mask=None
+    ) -> jnp.ndarray:
         from disconet_tpu.ops.blockspace import (
             conv_block_out,
             conv_block_s1,
@@ -101,16 +150,30 @@ class ConvBNRelu(nn.Module):
             assert self.stride == 2 and self.kernel == 3
             x = conv_block_s2(x.astype(cdt), w.astype(cdt))
         else:
+            # explicit symmetric k//2 padding = torch Conv2d(padding=k//2).
+            # At stride 1 this equals XLA SAME; at stride 2 SAME pads the high
+            # side only (taps 2p..2p+2) while torch reads 2p-1..2p+1 — using
+            # SAME here would shift every downsampled feature map one input
+            # pixel vs reference .pth checkpoints (the .pth bridge's forward-
+            # parity contract, SURVEY.md §5.5)
+            p = self.kernel // 2
             x = jax.lax.conv_general_dilated(
                 x.astype(cdt),
                 w.astype(cdt),
                 (self.stride, self.stride),
-                "SAME",
+                ((p, p), (p, p)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
         # momentum 0.9 = torch BatchNorm2d default (momentum=0.1 decay); flax's
         # 0.99 default leaves running stats stale for 100-epoch runs — stale
         # stats put eval-mode detections in the wrong place entirely
+        if self.masked_bn:
+            # name matches nn.BatchNorm's auto-name: checkpoint trees stay
+            # interchangeable between the masked and unmasked variants
+            mbn = MaskedBatchNorm(momentum=0.9, name="BatchNorm_0")
+            return nn.relu(
+                mbn(x.astype(jnp.float32), sample_mask, use_running_average=not train)
+            )
         bn = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,

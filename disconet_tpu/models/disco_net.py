@@ -20,14 +20,20 @@ from disconet_tpu.models.base import IntermediateFusionModel, sender_softmax
 
 class PixelWeightedFusion(nn.Module):
     """Per-pixel edge scorer: 1x1 convs 2C -> 128 -> 32 -> 8 -> 1 (BN+ReLU
-    hidden, linear output) — reference PixelWeightedFusionSoftmax."""
+    hidden, linear output) — reference PixelWeightedFusionSoftmax.
+
+    ``pair_mask`` (rows of the folded pair batch that are real) keeps the BN
+    statistics on real (receiver, sender) pairs only, matching the reference's
+    python loop which never evaluates padded pairs."""
 
     dtype: str = "bfloat16"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False, pair_mask=None) -> jnp.ndarray:
         for c in (128, 32, 8):
-            x = ConvBNRelu(c, kernel=1, dtype=self.dtype)(x, train)
+            x = ConvBNRelu(c, kernel=1, dtype=self.dtype, masked_bn=True)(
+                x, train, sample_mask=pair_mask
+            )
         x = nn.Conv(1, (1, 1), param_dtype=jnp.float32, dtype=jnp.float32)(
             x.astype(jnp.float32)
         )
@@ -44,7 +50,11 @@ class DiscoNet(IntermediateFusionModel):
         B, Ar, As, h, w, C = warped.shape
         ego = jnp.broadcast_to(feats_k[:, :, None], warped.shape)
         pair = jnp.concatenate([ego, warped], axis=-1)  # (B, Ar, As, h, w, 2C)
-        scores = self.weight_net(pair.reshape(B * Ar * As, h, w, 2 * C), train)
+        am = agent_mask.astype(bool)
+        pair_mask = (am[:, :, None] & am[:, None, :]).reshape(B * Ar * As)
+        scores = self.weight_net(
+            pair.reshape(B * Ar * As, h, w, 2 * C), train, pair_mask=pair_mask
+        )
         scores = scores.reshape(B, Ar, As, h, w)
         weights = sender_softmax(scores, agent_mask)  # (B, Ar, As, h, w)
         # expose the DiscoGraph W_j->i maps (img.png d-e heat-maps): a no-op

@@ -39,13 +39,16 @@ class CatFusion(IntermediateFusionModel):
     and project back to C with a 3x3 ConvBNRelu — reference CatFusion."""
 
     def setup_fusion(self):
-        self.cat_proj = ConvBNRelu(self.layer_channels, dtype=self.config.compute_dtype)
+        self.cat_proj = ConvBNRelu(
+            self.layer_channels, dtype=self.config.compute_dtype, masked_bn=True
+        )
 
     def fuse(self, feats_k, warped, agent_mask, train, trans=None):
         B, Ar, As, h, w, C = warped.shape
         m = agent_mask[:, None, :, None, None, None].astype(warped.dtype)
         x = (warped * m).transpose(0, 1, 3, 4, 2, 5).reshape(B * Ar, h, w, As * C)
-        out = self.cat_proj(x, train)
+        # BN statistics over present receivers only (reference loops real agents)
+        out = self.cat_proj(x, train, sample_mask=agent_mask.astype(bool).reshape(B * Ar))
         return out.reshape(B, Ar, h, w, C)
 
 
@@ -54,14 +57,18 @@ class AgentWiseWeightedFusion(IntermediateFusionModel):
     reference AgentWiseWeightedFusion (SURVEY.md C18)."""
 
     def setup_fusion(self):
-        self.score_conv = ConvBNRelu(32, kernel=1, dtype=self.config.compute_dtype)
+        self.score_conv = ConvBNRelu(
+            32, kernel=1, dtype=self.config.compute_dtype, masked_bn=True
+        )
         self.score_out = nn.Dense(1, param_dtype=jnp.float32)
 
     def fuse(self, feats_k, warped, agent_mask, train, trans=None):
         B, Ar, As, h, w, C = warped.shape
         ego = jnp.broadcast_to(feats_k[:, :, None], warped.shape)
         pair = jnp.concatenate([ego, warped], axis=-1).reshape(B * Ar * As, h, w, 2 * C)
-        x = self.score_conv(pair, train)
+        am = agent_mask.astype(bool)
+        pair_mask = (am[:, :, None] & am[:, None, :]).reshape(B * Ar * As)
+        x = self.score_conv(pair, train, sample_mask=pair_mask)
         pooled = jnp.mean(x, axis=(1, 2))  # (B*Ar*As, 32)
         scores = self.score_out(pooled).reshape(B, Ar, As)
         weights = sender_softmax(

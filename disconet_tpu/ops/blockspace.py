@@ -15,9 +15,10 @@ The rewrites here are EXACT (same multiply-add set, reordered):
   (offset, tap) combination get zero weight (75% structured zeros — the MXU
   computes them, but 4x lane utilization more than pays at Cout<=32).
 * stride-2 3x3 conv  -> 2x2 conv from block space to NATURAL space (each
-  stride-2 output reads pixels 2p..2p+2 under XLA's SAME padding = a 2x2 block
-  window), with explicit (0, 1) high padding. This is how a block-space stage
-  hands off to the next (natural) encoder stage for free.
+  stride-2 output reads pixels 2p-1..2p+1 under the torch-parity (1, 1)
+  padding the backbone uses = a 2x2 block window), with explicit (1, 0) low
+  padding. This is how a block-space stage hands off to the next (natural)
+  encoder stage for free.
 * stride-1 3x3 conv, NATURAL input -> BLOCK output ("block-out"): a stride-2
   4x4 conv emitting each 2x2 output block as 4Cout channels. Only 16/9 the
   FLOPs (vs 4x for the 3x3 block kernel) and no input relayout; the cheap
@@ -98,21 +99,22 @@ def block_weights_s2(w: jnp.ndarray) -> jnp.ndarray:
     """Stride-2 3x3 kernel (3, 3, Cin, Cout) -> (2, 2, 4Cin, Cout), block input
     -> NATURAL stride-1 output at half resolution.
 
-    XLA SAME padding at stride 2 / k 3 / even extent pads only the high side:
-    output pixel p reads input pixels 2p+u, u in [0, 2] — blocks p (offsets
-    0, 1) and p+1 (offset 0), a 2x2 block window with (0, 1) high padding.
+    Torch-parity padding (models/backbone.py ConvBNRelu: explicit (1, 1), the
+    reference Conv2d(padding=1)): output pixel p reads input pixels 2p+u,
+    u in [-1, 1] — blocks p-1 (offset 1) and p (offsets 0, 1), a 2x2 block
+    window with (1, 0) LOW padding.
     """
     k, _, cin, cout = w.shape
     assert k == 3, "block rewrite is derived for 3x3 kernels"
     wb = jnp.zeros((2, 2, 4 * cin, cout), w.dtype)
-    for u in (0, 1, 2):
+    for u in (-1, 0, 1):
         s_u, cy = _tap_split(0, u)
-        for v in (0, 1, 2):
+        for v in (-1, 0, 1):
             s_v, cx = _tap_split(0, v)
             t_in = 2 * cy + cx
             wb = wb.at[
-                s_u, s_v, t_in * cin : (t_in + 1) * cin, :
-            ].set(w[u, v])
+                s_u + 1, s_v + 1, t_in * cin : (t_in + 1) * cin, :
+            ].set(w[u + 1, v + 1])
     return wb
 
 
@@ -129,14 +131,14 @@ def conv_block_s1(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 
 
 def conv_block_s2(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """Stride-2 3x3 SAME conv from block space to natural half-res: x
+    """Stride-2 3x3 torch-padding conv from block space to natural half-res: x
     (B, P, Q, 4Cin), w canonical (3, 3, Cin, Cout) -> (B, P, Q, Cout).
-    Exact == conv(d2s(x), w, stride 2, SAME)."""
+    Exact == conv(d2s(x), w, stride 2, padding (1, 1))."""
     return jax.lax.conv_general_dilated(
         x,
         block_weights_s2(w),
         (1, 1),
-        ((0, 1), (0, 1)),
+        ((1, 0), (1, 0)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
 

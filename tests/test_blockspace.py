@@ -24,9 +24,32 @@ def rng():
 
 
 def _conv(x, w, stride):
+    # the backbone's convention: explicit k//2 padding = torch Conv2d(p=1).
+    # Equals XLA SAME at stride 1; at stride 2 SAME would read taps 2p..2p+2
+    # instead of torch's 2p-1..2p+1 (see test_natural_conv_matches_torch)
+    p = w.shape[0] // 2
     return jax.lax.conv_general_dilated(
-        x, w, (stride, stride), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        x, w, (stride, stride), ((p, p), (p, p)), dimension_numbers=("NHWC", "HWIO", "NHWC")
     )
+
+
+@pytest.mark.parametrize("stride", [1, 2])
+def test_natural_conv_matches_torch(rng, stride):
+    """The padding contract: the backbone's conv == torch Conv2d(k=3, p=1)
+    bit-convention-for-bit — reference .pth forward parity depends on it."""
+    import torch
+
+    x = rng.standard_normal((2, 16, 16, 7)).astype(np.float32)
+    w = (rng.standard_normal((3, 3, 7, 5)) * 0.1).astype(np.float32)
+    got = np.asarray(_conv(jnp.asarray(x), jnp.asarray(w), stride))
+    want = torch.nn.functional.conv2d(
+        torch.from_numpy(x).permute(0, 3, 1, 2),
+        torch.from_numpy(w).permute(3, 2, 0, 1),
+        stride=stride,
+        padding=1,
+    ).permute(0, 2, 3, 1).numpy()
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-5)
 
 
 def test_s2d_d2s_roundtrip(rng):

@@ -168,3 +168,57 @@ def test_layer_override_channel_sync(com):
     variables = model.init(jax.random.PRNGKey(0), bev, trans, mask, train=False)
     out = model.apply(variables, bev, trans, mask, train=False)
     assert out["cls"].shape == (B, A, H, W, CFG.num_anchors, CFG.num_classes)
+
+
+def test_masked_batchnorm_ignores_masked_rows():
+    """Stats and valid-row outputs must be invariant to garbage in masked
+    rows, and must equal plain nn.BatchNorm run on just the valid subset."""
+    import flax.linen as nn
+
+    from disconet_tpu.models.backbone import MaskedBatchNorm
+
+    rng = np.random.default_rng(0)
+    x_valid = jnp.asarray(rng.standard_normal((3, 4, 4, 5)).astype(np.float32))
+    garbage = jnp.asarray(1e3 * rng.standard_normal((2, 4, 4, 5)).astype(np.float32))
+    x = jnp.concatenate([x_valid, garbage], axis=0)
+    mask = jnp.array([True, True, True, False, False])
+
+    mbn = MaskedBatchNorm(momentum=0.9)
+    variables = mbn.init(jax.random.PRNGKey(0), x, mask)
+    y, mut = mbn.apply(variables, x, mask, mutable=["batch_stats"])
+
+    ref = nn.BatchNorm(use_running_average=False, momentum=0.9)
+    rv = ref.init(jax.random.PRNGKey(0), x_valid)
+    y_ref, mut_ref = ref.apply(rv, x_valid, mutable=["batch_stats"])
+
+    np.testing.assert_allclose(np.asarray(y[:3]), np.asarray(y_ref), rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(mut["batch_stats"]["mean"]),
+        np.asarray(mut_ref["batch_stats"]["mean"]), rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(mut["batch_stats"]["var"]),
+        np.asarray(mut_ref["batch_stats"]["var"]), rtol=2e-4,
+    )
+    # poisoning masked rows further changes nothing for valid rows/stats
+    x2 = x.at[3:].mul(-7.0)
+    y2, mut2 = mbn.apply(variables, x2, mask, mutable=["batch_stats"])
+    np.testing.assert_array_equal(np.asarray(y2[:3]), np.asarray(y[:3]))
+    np.testing.assert_array_equal(
+        np.asarray(mut2["batch_stats"]["mean"]), np.asarray(mut["batch_stats"]["mean"])
+    )
+
+
+def test_masked_batchnorm_eval_uses_running_stats():
+    from disconet_tpu.models.backbone import MaskedBatchNorm
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((4, 2, 2, 3)).astype(np.float32))
+    mbn = MaskedBatchNorm()
+    variables = mbn.init(jax.random.PRNGKey(0), x, None)
+    # eval: normalize by the (init) running stats regardless of mask
+    y = mbn.apply(variables, x, jnp.array([True, False, True, False]),
+                  use_running_average=True)
+    np.testing.assert_allclose(  # init stats: mean 0, var 1
+        np.asarray(y), np.asarray(x) / np.sqrt(1 + 1e-5), rtol=1e-6
+    )
