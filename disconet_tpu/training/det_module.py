@@ -341,7 +341,8 @@ def prefetch_to_device(batches, to_device=batch_to_device, depth: int = 2):
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(1) as pool:
+    pool = ThreadPoolExecutor(1)
+    try:
         buf = deque()
         for b in batches:
             buf.append(pool.submit(to_device, b))
@@ -349,3 +350,8 @@ def prefetch_to_device(batches, to_device=batch_to_device, depth: int = 2):
                 yield buf.popleft().result()
         while buf:
             yield buf.popleft().result()
+    finally:
+        # on abandonment, don't run queued-but-unstarted transfers to
+        # completion — each is seconds of wasted tunnel time; only the
+        # in-flight one is uncancellable
+        pool.shutdown(wait=True, cancel_futures=True)

@@ -13,11 +13,18 @@ from disconet_tpu.config import Config
 from disconet_tpu.ops.boxes import box_corners_np
 
 
-def render_bev(cfg: Config, bev, gt_boxes=None, det_boxes=None, det_scores=None):
+def _plt():
+    """Headless pyplot (shared by every renderer; matplotlib stays lazy)."""
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
+
+    return plt
+
+
+def render_bev(cfg: Config, bev, gt_boxes=None, det_boxes=None, det_scores=None):
+    plt = _plt()
 
     (x_lo, x_hi), (y_lo, y_hi), _ = cfg.area_extents
     occ = np.asarray(bev).max(axis=-1)  # (H, W)
@@ -57,10 +64,7 @@ def render_seg(pred, label=None, num_classes: int = 8, class_names=None):
     ``pred``/``label``: (H, W) int class ids. Categorical tab10 colors with a
     shared legend — the reference seg tooling's colored-BEV style.
     """
-    import matplotlib
-
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
+    plt = _plt()
     from matplotlib import colors as mcolors
     from matplotlib.patches import Patch
 
@@ -93,21 +97,20 @@ def render_edge_weights(weights, agent_mask, receiver: int):
     sender, shared [0, 1] color scale — the self-edge is the panel where
     j == receiver.
     """
-    import matplotlib
-
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
+    plt = _plt()
 
     weights = np.asarray(weights)
     mask = np.asarray(agent_mask).astype(bool)
     senders = [j for j in range(weights.shape[0]) if mask[j]]
     fig, axes = plt.subplots(1, max(len(senders), 1), figsize=(3 * max(len(senders), 1), 3))
     axes = np.atleast_1d(axes)
+    im = None
     for ax, j in zip(axes, senders):
         im = ax.imshow(weights[j].T, origin="lower", cmap="viridis", vmin=0.0, vmax=1.0)
         tag = " (self)" if j == receiver else ""
         ax.set_title(f"$W_{{{j}\\to{receiver}}}${tag}", fontsize=9)
         ax.set_xticks([])
         ax.set_yticks([])
-    fig.colorbar(im, ax=list(axes), fraction=0.025)
+    if im is not None:
+        fig.colorbar(im, ax=list(axes), fraction=0.025)
     return fig

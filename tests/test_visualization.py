@@ -37,3 +37,10 @@ def test_render_seg_writes_png(tmp_path):
     out = tmp_path / "seg.png"
     fig.savefig(str(out))
     assert out.stat().st_size > 5000
+
+
+def test_render_edge_weights_no_present_senders():
+    from disconet_tpu.utils.visualization import render_edge_weights
+
+    fig = render_edge_weights(np.zeros((3, 4, 4)), np.zeros(3, bool), receiver=0)
+    assert fig is not None
