@@ -60,8 +60,11 @@ class MetricLogger:
             self.file.write(line + "\n")
             self.file.flush()
         if self.tb:
+            # prefix stays a human-readable stdout label only: folding it into
+            # the tag (e.g. 'epoch 3/loss') would fragment each metric into
+            # per-epoch one-segment TB curves instead of one continuous curve
             for k, v in metrics.items():
-                self.tb.add_scalar(f"{prefix}/{k}" if prefix else k, float(v), step)
+                self.tb.add_scalar(k, float(v), step)
 
     def close(self):
         if self.file:

@@ -14,23 +14,16 @@ import numpy as np
 import optax
 
 from disconet_tpu.config import Config
-from disconet_tpu.training.det_module import DetTrainState, get_bev, get_bev_np
+from disconet_tpu.training.det_module import (
+    DetTrainState,
+    create_train_state,
+    get_bev,
+    get_bev_np,
+)
 
-
-def create_seg_train_state(model, config: Config, rng, sample_batch, lr: float = 1e-3) -> DetTrainState:
-    variables = model.init(
-        rng,
-        jnp.asarray(get_bev_np(sample_batch, "bev", config)),
-        jnp.asarray(sample_batch["trans"]),
-        jnp.asarray(sample_batch["agent_mask"]),
-        train=False,
-    )
-    return DetTrainState.create(
-        apply_fn=model.apply,
-        params=variables["params"],
-        batch_stats=variables.get("batch_stats", {}),
-        tx=optax.adam(lr),
-    )
+# identical init recipe (model.init on the sample batch + Adam(lr)); the seg
+# name is kept for CLI readability
+create_seg_train_state = create_train_state
 
 
 def _seg_loss(out, batch):

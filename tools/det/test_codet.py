@@ -25,8 +25,6 @@ from disconet_tpu.utils.env import setup as _env_setup
 _env_setup()  # compile cache + honor JAX_PLATFORMS over sitecustomize override
 from collections import defaultdict
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
-
 import jax
 import numpy as np
 
@@ -103,33 +101,37 @@ def main(argv=None):
 
     from disconet_tpu.data.dataset import pad_batch_to
 
+    noise_rng = np.random.default_rng(args.seed)  # local: reruns of main() reproduce
+
     def prepared_batches():
         for batch in loader:
             pad_batch_to(batch, args.batch, cfg.max_agents)
             if args.pose_noise_std > 0 or args.pose_noise_rot_std > 0:
                 from disconet_tpu.utils.pose_noise import perturb_trans
 
-                noise_rng = getattr(main, "_noise_rng", None) or np.random.default_rng(args.seed)
-                main._noise_rng = noise_rng
                 batch["trans"] = perturb_trans(
                     batch["trans"], args.pose_noise_std, args.pose_noise_rot_std, noise_rng
                 )
             yield batch
 
-    from disconet_tpu.training.det_module import pipeline_one_deep
+    from disconet_tpu.training.det_module import pipeline_one_deep, prefetch_to_device
 
-    # batch n+1's predict is dispatched (async) before batch n's outputs are
-    # fetched — the device forward+NMS overlaps the host-side mAP/late-fusion/
-    # track processing below
-    predictions = pipeline_one_deep(
-        prepared_batches(), lambda b: predict(state, batch_to_device(b))
+    # three-way overlap: host->device transfers run on prefetch_to_device's
+    # worker thread (device_put holds its calling thread for the full tunnel
+    # wire time), batch n+1's predict is dispatched before batch n's outputs
+    # are fetched, and the host processes mAP/late-fusion/tracking meanwhile.
+    # The host batch rides along so the loop below never fetches small arrays
+    # (gt_boxes, agent_mask, scene_frame) back across the tunnel.
+    pairs = prefetch_to_device(
+        prepared_batches(), to_device=lambda b: (b, batch_to_device(b))
     )
+    predictions = pipeline_one_deep(pairs, lambda hb_db: predict(state, hb_db[1]))
 
     n_frames = 0
     edge_dumped = False
-    for batch, (boxes, scores, keep) in predictions:
+    for (batch, dev_batch), (boxes, scores, keep) in predictions:
         if args.visualization and args.com == "disco" and not edge_dumped:
-            _render_edge_weights(args, cfg, model, state, batch)
+            _render_edge_weights(args, cfg, model, state, batch, dev_batch)
             edge_dumped = True
         B = int(np.sum(np.any(batch["agent_mask"], axis=1)))
         for b in range(B):
@@ -210,7 +212,7 @@ def _render(args, cfg, batch, b, a, scene, frame, d_boxes, d_scores):
     plt.close(fig)
 
 
-def _render_edge_weights(args, cfg, model, state, batch):
+def _render_edge_weights(args, cfg, model, state, batch, dev_batch):
     """DiscoGraph W_j->i heat-maps for the first batch's first scene-frame —
     the reference qualitative figure's panels d-e (img.png). One png per
     present receiver, one subplot per present sender."""
@@ -234,7 +236,7 @@ def _render_edge_weights(args, cfg, model, state, batch):
         )
         return inter["intermediates"]["edge_weights"][0]
 
-    w = np.asarray(edge_weights(state, batch_to_device(batch)))  # (B, Ar, As, h, w)
+    w = np.asarray(edge_weights(state, dev_batch))  # (B, Ar, As, h, w)
     out_dir = os.path.join(args.logpath, "vis")
     os.makedirs(out_dir, exist_ok=True)
     b = 0

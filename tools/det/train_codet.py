@@ -94,7 +94,7 @@ def mode_name(args) -> str:
     return (args.com or args.bound or "lowerbound") + ("_kd" if args.kd_flag else "")
 
 
-def load_student_ckpt(args, state, ckpt_io):
+def load_student_ckpt(args, state):
     """Resume priority: --resume (.pth/orbax) > --auto_resume_path > fresh."""
     start_epoch = 0
     if args.resume:
@@ -102,6 +102,8 @@ def load_student_ckpt(args, state, ckpt_io):
             params, stats, epoch, _ = load_pth(args.resume, state.params, state.batch_stats)
             state = state.replace(params=params, batch_stats=stats)
             start_epoch = epoch
+            print("NOTE: .pth resume restores params/batch_stats only — Adam "
+                  "moments restart from zero (use the orbax dir to resume them)")
         else:
             from disconet_tpu.training.checkpoint import restore_or_die
 
@@ -130,6 +132,10 @@ def main(argv=None):
     if len(dataset) == 0:
         raise SystemExit(f"no frames found under {args.data}")
     loader = BatchIterator(dataset, args.batch, shuffle=True, seed=args.seed, num_workers=args.nworker)
+    if len(loader) == 0:  # drop_last: fewer frames than --batch -> no batches
+        raise SystemExit(
+            f"dataset has {len(dataset)} scene-frames, fewer than --batch {args.batch}"
+        )
     print(f"dataset: {len(dataset)} scene-frames, {len(loader)} batches/epoch")
 
     model = build_model(args.com or args.bound, cfg, kd_flag=bool(args.kd_flag),
@@ -151,9 +157,13 @@ def main(argv=None):
             if args.resume_teacher.endswith(".pth"):
                 tp, ts, _, _ = load_pth(args.resume_teacher, tv["params"], tv.get("batch_stats", {}))
             else:
+                from disconet_tpu.training.checkpoint import restore_or_die
+
                 tmp_state = create_train_state(teacher, cfg, t_rng,
                     {**sample, "bev": teacher_bev}, lr=args.lr)
-                tmp_state, _ = CheckpointIO(args.resume_teacher).restore(tmp_state)
+                # restore_or_die: a typo'd path must fail loudly, not train
+                # KD against a random teacher at kd_weight=1e5
+                tmp_state, _, _ = restore_or_die(args.resume_teacher, tmp_state)
                 tp, ts = tmp_state.params, tmp_state.batch_stats
             teacher_vars = {"params": tp, "batch_stats": ts}
             print(f"loaded frozen teacher from {args.resume_teacher}")
@@ -164,7 +174,7 @@ def main(argv=None):
     logdir = os.path.join(args.logpath, mode_name(args))
     os.makedirs(logdir, exist_ok=True)
     ckpt_io = CheckpointIO(os.path.join(logdir, "ckpt"), max_to_keep=args.ckpt_keep or None)
-    state, start_epoch = load_student_ckpt(args, state, ckpt_io)
+    state, start_epoch = load_student_ckpt(args, state)
     logger = MetricLogger(logdir, log=args.log)
 
     mesh = make_mesh(n_agent=args.mesh_agent, n_spatial=args.mesh_spatial)
@@ -225,6 +235,10 @@ def main(argv=None):
             if args.save_pth:
                 save_pth(os.path.join(logdir, f"epoch_{epoch}.pth"), host_state,
                          epoch, loss=last.get("loss", 0.0))
+    if profiler_span is not None:  # run ended before 2 + --profile steps
+        profiler_span.__exit__(None, None, None)
+        print(f"profiler trace written to {os.path.join(logdir, 'profile')} "
+              f"(run ended before --profile {args.profile} steps completed)")
     logger.close()
     print(f"training complete: {args.nepoch} epochs, checkpoints in {logdir}")
 
