@@ -131,6 +131,19 @@ class Config:
     # sigmoid/decode (~0.4% relative), far below detection-threshold noise.
     head_raw_dtype: str = "bfloat16"
 
+    # Storage dtype of the head_conv output ("head_in") — the largest
+    # activation in the network (128ch at full resolution, ~3.2 GB fp32
+    # write+read per batch-16 step). The det heads matmul already casts its
+    # input to compute_dtype, so with "bfloat16" the rounding just moves
+    # before the store and the det outputs are BIT-identical (tested); only
+    # consumers that read head_in at full precision see a change (KD feature
+    # MSE and the seg head observe bf16-rounded features). Measured NEUTRAL
+    # e2e on v5e at the reference geometry (212.06 vs 212.04 scenes/s,
+    # batch 16) — the decode/head boundary is compute- not store-bound, like
+    # the earlier ConvBNRelu bf16-output experiment. Default stays fp32 so
+    # KD/seg numerics are untouched; flip on for HBM-tight geometries.
+    head_in_dtype: str = "float32"
+
     # Segmentation (SURVEY.md C3): ~8 BEV semantic classes.
     num_seg_classes: int = 8
 

@@ -299,6 +299,10 @@ class STPN(nn.Module):
     # the narrow input doesn't already get, and the two extra d2s relayouts
     # cost wall time. Kept as a tested mode; default off.
     block_out_encoder: bool = False
+    # storage dtype of the head_conv output (config.head_in_dtype): "bfloat16"
+    # halves the HBM round-trip of the network's largest activation; the det
+    # heads matmul casts to compute dtype anyway, so det outputs are identical
+    head_in_dtype: str = "float32"
 
     def setup(self):
         assert not (self.block_space and (self.block_out or self.block_out_encoder)), (
@@ -364,6 +368,8 @@ class STPN(nn.Module):
             x = self.decode_step(x, feats, i, train)
             kd_feats.append(x)
         head_in = self.head_conv(x, train)
+        if self.head_in_dtype != "float32":
+            head_in = head_in.astype(_dtype(self.head_in_dtype))
         kd_feats.append(head_in)
         return head_in, kd_feats
 
@@ -453,6 +459,7 @@ def make_stpn(config: Config, allow_block: bool = True) -> STPN:
         # over the default-on block_out.
         block_out=getattr(config, "block_out", False) and not block_space,
         block_out_dec1=getattr(config, "block_out_dec1", False) and not block_space,
+        head_in_dtype=getattr(config, "head_in_dtype", "float32"),
     )
 
 

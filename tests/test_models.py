@@ -104,6 +104,29 @@ def test_teacher_student_kd_shapes_match():
         assert sf.shape == tf.shape
 
 
+def test_head_in_dtype_bf16_det_outputs_identical():
+    """config.head_in_dtype only changes the STORAGE of the head_conv output;
+    the det heads matmul casts its input to compute dtype either way, so
+    cls/reg/head_raw must be bit-identical between fp32 and bf16 storage
+    (the knob is a pure HBM-bandwidth optimization for the det path)."""
+    import dataclasses
+
+    bev, trans, mask = _inputs()
+    cfg32 = dataclasses.replace(CFG, head_in_dtype="float32")
+    cfg16 = dataclasses.replace(CFG, head_in_dtype="bfloat16")
+    m32 = build_model("disco", cfg32)
+    m16 = build_model("disco", cfg16)
+    variables = m32.init(jax.random.PRNGKey(0), bev, trans, mask, train=False)
+    # same param tree: the knob is runtime-only, checkpoints are shared
+    o32 = m32.apply(variables, bev, trans, mask, train=False)
+    o16 = m16.apply(variables, bev, trans, mask, train=False)
+    assert np.array_equal(np.asarray(o32["cls"]), np.asarray(o16["cls"]))
+    assert np.array_equal(np.asarray(o32["reg"]), np.asarray(o16["reg"]))
+    assert np.array_equal(
+        np.asarray(o32["head_raw"], np.float32), np.asarray(o16["head_raw"], np.float32)
+    )
+
+
 @pytest.mark.parametrize("com", ["", "disco"])
 def test_seg_task(com):
     bev, trans, mask = _inputs()
