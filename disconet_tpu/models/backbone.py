@@ -19,6 +19,7 @@ knowledge distillation (SURVEY.md C13/C20).
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence, Tuple
 
 import flax.linen as nn
@@ -93,6 +94,22 @@ class ConvBNRelu(nn.Module):
                              computed as conv_up_block_out(x_lo) +
                              conv_block_out(skip) without materializing the
                              upsample or the concat; block output.
+      * 'pair1x1'          — ``x`` is a tuple (shared, per_item, n_items):
+                             the 1x1 conv the natural path applies to
+                             concat(broadcast(shared), per_item) over a folded
+                             (N*n_items) batch, computed as two dots with the
+                             kernel split along its input axis — the shared
+                             half projects ONCE per group of n_items rows and
+                             broadcasts (DiscoNet's fusion scorer: the ego map
+                             is identical for all senders of a receiver, so
+                             the concat input — ~1.2 GB fp32 at the reference
+                             geometry, batch 16 — is never materialized and
+                             the shared half's FLOPs drop n_items-fold).
+                             ``shared`` is (N, H, W, Cs), ``per_item`` is
+                             (N*n_items, H, W, Cp); output (N*n_items, H, W, F).
+                             Exact up to f32 accumulation order (both halves
+                             accumulate fp32; the fused conv sums Cs+Cp terms
+                             in one chain).
     Params are canonical (k, k, Cin, features) in every mode, so block space is
     a pure runtime layout choice — checkpoints are mode-independent. BatchNorm
     in block mode reduces over the (4, C)-reshaped tile axis, which reproduces
@@ -121,7 +138,7 @@ class ConvBNRelu(nn.Module):
         )
 
         cdt = _dtype(self.dtype)
-        if mode == "block_out_pair":
+        if mode in ("block_out_pair", "pair1x1"):
             cin = x[0].shape[-1] + x[1].shape[-1]
         else:
             cin = x.shape[-1] // (4 if mode in ("block", "block_to_natural") else 1)
@@ -133,7 +150,22 @@ class ConvBNRelu(nn.Module):
         )
         # the block_out transforms take the canonical f32 kernel (tap sums
         # stay f32; the compute-dtype cast happens after the transform)
-        if mode == "block_out_pair":
+        if mode == "pair1x1":
+            assert self.stride == 1 and self.kernel == 1
+            shared, per_item, n_items = x
+            Cs = shared.shape[-1]
+            dot = functools.partial(
+                jax.lax.dot_general,
+                dimension_numbers=(((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s_proj = dot(shared.astype(cdt), w[0, 0, :Cs].astype(cdt))
+            p_proj = dot(per_item.astype(cdt), w[0, 0, Cs:].astype(cdt))
+            N, H, W, F = s_proj.shape
+            x = (s_proj[:, None] + p_proj.reshape(N, n_items, H, W, F)).reshape(
+                N * n_items, H, W, F
+            )
+        elif mode == "block_out_pair":
             assert self.stride == 1 and self.kernel == 3
             x_lo, skip = x
             c_lo = x_lo.shape[-1]

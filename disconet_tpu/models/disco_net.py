@@ -29,8 +29,18 @@ class PixelWeightedFusion(nn.Module):
     dtype: str = "bfloat16"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False, pair_mask=None) -> jnp.ndarray:
-        for c in (128, 32, 8):
+    def __call__(self, ego, warped, train: bool = False, pair_mask=None) -> jnp.ndarray:
+        """``ego`` (N, h, w, C) per receiver; ``warped`` (N*S, h, w, C) folded
+        (receiver, sender) pairs. The first 1x1 conv runs in ``pair1x1`` mode
+        (ConvBNRelu): the ego half of its kernel projects once per receiver
+        and broadcasts over senders — cat(ego, warped) (~1.2 GB fp32 at the
+        reference geometry, batch 16) is never materialized. Param tree is
+        identical to the concat formulation (one (1,1,2C,128) kernel)."""
+        S = warped.shape[0] // ego.shape[0]
+        x = ConvBNRelu(128, kernel=1, dtype=self.dtype, masked_bn=True)(
+            (ego, warped, S), train, mode="pair1x1", sample_mask=pair_mask
+        )
+        for c in (32, 8):
             x = ConvBNRelu(c, kernel=1, dtype=self.dtype, masked_bn=True)(
                 x, train, sample_mask=pair_mask
             )
@@ -48,12 +58,13 @@ class DiscoNet(IntermediateFusionModel):
 
     def fuse(self, feats_k, warped, agent_mask, train, trans=None):
         B, Ar, As, h, w, C = warped.shape
-        ego = jnp.broadcast_to(feats_k[:, :, None], warped.shape)
-        pair = jnp.concatenate([ego, warped], axis=-1)  # (B, Ar, As, h, w, 2C)
         am = agent_mask.astype(bool)
         pair_mask = (am[:, :, None] & am[:, None, :]).reshape(B * Ar * As)
         scores = self.weight_net(
-            pair.reshape(B * Ar * As, h, w, 2 * C), train, pair_mask=pair_mask
+            feats_k.reshape(B * Ar, h, w, C),
+            warped.reshape(B * Ar * As, h, w, C),
+            train,
+            pair_mask=pair_mask,
         )
         scores = scores.reshape(B, Ar, As, h, w)
         weights = sender_softmax(scores, agent_mask)  # (B, Ar, As, h, w)

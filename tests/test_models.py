@@ -104,6 +104,39 @@ def test_teacher_student_kd_shapes_match():
         assert sf.shape == tf.shape
 
 
+def test_pair1x1_matches_concat_conv():
+    """ConvBNRelu mode='pair1x1' (DiscoNet scorer's first layer: split-kernel
+    dots, ego projected once per receiver) must match the concat formulation
+    on the folded pair batch — same params, fp32 compute, near-exact (only
+    f32 accumulation order differs)."""
+    from disconet_tpu.models.backbone import ConvBNRelu
+
+    rng = np.random.default_rng(0)
+    N, S, h, w, C = 3, 4, 8, 8, 16
+    ego = rng.normal(size=(N, h, w, C)).astype(np.float32)
+    warped = rng.normal(size=(N * S, h, w, C)).astype(np.float32)
+    pair_mask = jnp.asarray(rng.random(N * S) < 0.7)
+
+    mod = ConvBNRelu(24, kernel=1, dtype="float32", masked_bn=True)
+    variables = mod.init(
+        jax.random.PRNGKey(0),
+        (jnp.asarray(ego), jnp.asarray(warped), S),
+        mode="pair1x1",
+        sample_mask=pair_mask,
+    )
+    y_pair = mod.apply(
+        variables, (jnp.asarray(ego), jnp.asarray(warped), S),
+        mode="pair1x1", sample_mask=pair_mask,
+    )
+    concat = np.concatenate(
+        [np.repeat(ego, S, axis=0), warped], axis=-1
+    )  # (N*S, h, w, 2C)
+    y_cat = mod.apply(
+        variables, jnp.asarray(concat), mode="natural", sample_mask=pair_mask
+    )
+    np.testing.assert_allclose(np.asarray(y_pair), np.asarray(y_cat), atol=1e-5)
+
+
 def test_head_in_dtype_bf16_det_outputs_identical():
     """config.head_in_dtype only changes the STORAGE of the head_conv output;
     the det heads matmul casts its input to compute dtype either way, so
