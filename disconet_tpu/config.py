@@ -144,6 +144,15 @@ class Config:
     # KD/seg numerics are untouched; flip on for HBM-tight geometries.
     head_in_dtype: str = "float32"
 
+    # Compute/storage dtype of the all-pairs pose warp at the fusion layer
+    # (models/base.py). "bfloat16": the dense one-hot tap matrix (151 MB/scene
+    # fp32 at the 32x32 fusion grid) and the warped feature maps halve their
+    # HBM footprint and the warp contraction runs the bf16 MXU path with f32
+    # accumulation; tap-weight quantization is ~4e-3 relative (ops/warp.py),
+    # below bf16 feature rounding that every consumer applies anyway.
+    # "float32" is the exact mode and the torch-grid_sample parity oracle.
+    warp_dtype: str = "bfloat16"
+
     # Segmentation (SURVEY.md C3): ~8 BEV semantic classes.
     num_seg_classes: int = 8
 

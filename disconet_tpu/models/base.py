@@ -162,13 +162,24 @@ class IntermediateFusionModel(nn.Module):
         feats = self.stpn.encode(x, train)
 
         k = self.layer
-        # fusion-layer features arrive f32: ConvBNRelu deliberately emits f32
-        # (backbone.py — bf16 outputs measured neutral on TPU and break CPU
-        # shard_map dot lowering), so the all-pairs warp runs on f32 maps; the
-        # bilinear tap weights/accumulation are f32 either way (ops/warp.py)
+        # fusion-layer features arrive f32 (ConvBNRelu emits f32, backbone.py).
+        # config.warp_dtype sets the warp's compute/storage dtype: with
+        # "bfloat16" the one-hot tap matrix and the warped maps halve their
+        # HBM footprint and the warp einsum runs on the bf16 MXU path with
+        # f32 accumulation (ops/warp.py documents the ~4e-3 tap quantization;
+        # every downstream consumer casts to bf16 anyway). "float32" is the
+        # exact/oracle mode. TPU-only dispatch (the nms.py pattern): the CPU
+        # test backend's sharded DotThunk lacks BF16 x BF16 = F32, so the
+        # 8-device mesh tests and the multichip dry-run keep f32 warps.
+        wdt = (
+            jnp.bfloat16
+            if getattr(self.config, "warp_dtype", "float32") == "bfloat16"
+            and jax.default_backend() == "tpu"
+            else jnp.float32
+        )
         fk = batch_to_agents(feats[k], B, A)
         extent = self.config.area_extents[:2]
-        warped = warp_all_pairs(fk, trans, extent)  # (B, Ar, As, h, w, C)
+        warped = warp_all_pairs(fk.astype(wdt), trans, extent)  # (B, Ar, As, h, w, C)
         fused = self.fuse(fk, warped, agent_mask, train, trans=trans)
 
         feats = list(feats)

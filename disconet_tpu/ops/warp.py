@@ -203,9 +203,14 @@ def warp_features_matmul(
         + tap_mat(x0i + 1, y0i + 1, wx1 * wy1)
     )  # (A, A, P, Q)
     feat_flat = feats.reshape(A, Q, C)
+    wm = Wmat.astype(feats.dtype)
+    if feats.dtype == jnp.bfloat16 and jax.default_backend() != "tpu":
+        # CPU's DotThunk lacks BF16 x BF16 = F32; keep the bf16 tap/feature
+        # quantization (rounding parity with the TPU path) but dot in f32
+        wm, feat_flat = wm.astype(jnp.float32), feat_flat.astype(jnp.float32)
     out = jnp.einsum(
         "ijpq,jqc->ijpc",
-        Wmat.astype(feats.dtype),
+        wm,
         feat_flat,
         preferred_element_type=jnp.float32,
     )

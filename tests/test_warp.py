@@ -175,3 +175,31 @@ class TestMatmulWarp:
             jax.vmap(lambda f, t: warp_features(f, t, ext))(feats, jnp.asarray(trans))
         )
         np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_warp_matmul_bf16_close_to_f32(self):
+        """config.warp_dtype='bfloat16' (models/base.py, TPU dispatch) runs the
+        one-hot matmul warp on bf16 feats/taps with f32 accumulation. Against
+        the f32 path the error budget is bf16 feature rounding (~0.4%) plus
+        the ~4e-3 tap-weight quantization (ops/warp.py docstring)."""
+        import numpy as np
+        from disconet_tpu.ops.warp import warp_features_matmul
+
+        rng = np.random.default_rng(3)
+        A, H, C = 3, 16, 8
+        feats = rng.standard_normal((A, H, H, C)).astype(np.float32)
+        trans = np.tile(np.eye(4, dtype=np.float32), (A, A, 1, 1))
+        for i in range(A):
+            for j in range(A):
+                th = 0.3 * (i - j)
+                trans[i, j][:2, :2] = [[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]]
+                trans[i, j][:2, 3] = [0.25 * (i + 1), -0.2 * (j + 1)]
+        ext = ((-2.0, 2.0), (-2.0, 2.0))
+        f32 = np.asarray(warp_features_matmul(jnp.asarray(feats), jnp.asarray(trans), ext))
+        bf16 = np.asarray(
+            warp_features_matmul(
+                jnp.asarray(feats, dtype=jnp.bfloat16), jnp.asarray(trans), ext
+            ),
+            dtype=np.float32,
+        )
+        scale = np.abs(f32).max()
+        assert np.max(np.abs(bf16 - f32)) < 0.02 * scale
