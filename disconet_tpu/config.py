@@ -144,13 +144,17 @@ class Config:
     # KD/seg numerics are untouched; flip on for HBM-tight geometries.
     head_in_dtype: str = "float32"
 
-    # Compute/storage dtype of the all-pairs pose warp at the fusion layer
+    # INFERENCE dtype of the all-pairs pose warp at the fusion layer
     # (models/base.py). "bfloat16": the dense one-hot tap matrix (151 MB/scene
-    # fp32 at the 32x32 fusion grid) and the warped feature maps halve their
-    # HBM footprint and the warp contraction runs the bf16 MXU path with f32
-    # accumulation; tap-weight quantization is ~4e-3 relative (ops/warp.py),
-    # below bf16 feature rounding that every consumer applies anyway.
-    # "float32" is the exact mode and the torch-grid_sample parity oracle.
+    # fp32 at the 32x32 fusion grid) and the warped maps halve their HBM
+    # footprint and the contraction runs the bf16 MXU path with f32
+    # accumulation — 215.5 -> 219.3 scenes/s e2e on v5e, and mAP-IDENTICAL
+    # on the same checkpoint (0.4134 vs 0.4133 mAP@0.7, synthetic 64-grid
+    # benchmark). Training steps (train=True) always warp f32 regardless:
+    # TRAINING through bf16 warps measured −0.11 mAP@0.7 (0.3085 vs 0.4133,
+    # same protocol) — quantized-warp gradients hurt localization convergence
+    # even though the forward difference is negligible. "float32" disables
+    # the inference cast too (the exact / torch-grid_sample oracle mode).
     warp_dtype: str = "bfloat16"
 
     # Segmentation (SURVEY.md C3): ~8 BEV semantic classes.

@@ -163,17 +163,20 @@ class IntermediateFusionModel(nn.Module):
 
         k = self.layer
         # fusion-layer features arrive f32 (ConvBNRelu emits f32, backbone.py).
-        # config.warp_dtype sets the warp's compute/storage dtype: with
-        # "bfloat16" the one-hot tap matrix and the warped maps halve their
-        # HBM footprint and the warp einsum runs on the bf16 MXU path with
-        # f32 accumulation (ops/warp.py documents the ~4e-3 tap quantization;
-        # every downstream consumer casts to bf16 anyway). "float32" is the
-        # exact/oracle mode. TPU-only dispatch (the nms.py pattern): the CPU
-        # test backend's sharded DotThunk lacks BF16 x BF16 = F32, so the
-        # 8-device mesh tests and the multichip dry-run keep f32 warps.
+        # config.warp_dtype = "bfloat16" applies to INFERENCE only: the one-hot
+        # tap matrix and warped maps halve their HBM footprint and the warp
+        # einsum runs the bf16 MXU path with f32 accumulation (+1.8% e2e,
+        # mAP-identical at eval — measured 0.4134 vs 0.4133 mAP@0.7 on the
+        # same checkpoint). Training always warps f32: training WITH bf16
+        # warps measured −0.11 mAP@0.7 (0.3085 vs 0.4133 on the synthetic
+        # 64-grid benchmark) — the quantized-warp gradients hurt localization
+        # convergence even though the forward difference is negligible.
+        # TPU-only dispatch (the nms.py pattern): the CPU test backend's
+        # sharded DotThunk lacks BF16 x BF16 = F32.
         wdt = (
             jnp.bfloat16
             if getattr(self.config, "warp_dtype", "float32") == "bfloat16"
+            and not train
             and jax.default_backend() == "tpu"
             else jnp.float32
         )
