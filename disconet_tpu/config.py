@@ -133,9 +133,11 @@ class Config:
 
     # Storage dtype of the head_conv output ("head_in") — the largest
     # activation in the network (128ch at full resolution, ~3.2 GB fp32
-    # write+read per batch-16 step). The det heads matmul already casts its
-    # input to compute_dtype, so with "bfloat16" the rounding just moves
-    # before the store and the det outputs are BIT-identical (tested); only
+    # write+read per batch-16 step). When compute_dtype is "bfloat16" (the
+    # TPU default) the det heads matmul casts its input to bf16 anyway, so
+    # the rounding just moves before the store and the det outputs are
+    # BIT-identical (tested for that configuration; under f32 compute the
+    # store rounding is NOT absorbed and detections change); only
     # consumers that read head_in at full precision see a change (KD feature
     # MSE and the seg head observe bf16-rounded features). Measured NEUTRAL
     # e2e on v5e at the reference geometry (212.06 vs 212.04 scenes/s,

@@ -13,9 +13,12 @@ batch-16 pipeline. This isolates it on a synthetic packed head tensor
               trip); winner scores recomputed in f32 from the gathered raw
               rows, so output values match `current` exactly — only near-tie
               *selection* can differ by bf16 rounding
-  packed    — rotated_nms_decode_packed's selection (no materialized tensor;
-              measured slower in-graph at 196-scenes/s era, re-checked here)
   exact_l1  — current but with exact lax.top_k at level 1 (approx_max_k cost)
+
+(The fully-fused rotated_nms_decode_packed variant — no materialized selection
+tensor at all — was measured in-graph on 2026-08-17: 196.7 -> 149 scenes/s;
+see its docstring in ops/nms.py. diff_f32/diff_bf16 here probe the half-way
+point and lose the same way.)
 
 Each variant ends in the same winner gather + decode_boxes; NMS suppression is
 excluded (identical across variants). Prints ms per call over the whole batch.
@@ -56,7 +59,6 @@ def main():
     from disconet_tpu.config import Config
     from disconet_tpu.ops.boxes import decode_boxes, make_anchors
     from disconet_tpu.ops.nms import (
-        _pad_to,
         _select_candidates_spatial,
         _top_cells,
         packed_scores_and_deltas,

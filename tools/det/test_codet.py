@@ -57,6 +57,8 @@ def parse_args(argv=None):
                    help="override config score threshold (default 0.3)")
     p.add_argument("--pose_noise_std", type=float, default=0.0,
                    help="test-time pose noise: translation std [m] (paper robustness study)")
+    p.add_argument("--warp_dtype", type=str, default=None, choices=["bfloat16", "float32"],
+                   help="inference warp dtype override (config.warp_dtype)")
     p.add_argument("--pose_noise_rot_std", type=float, default=0.0,
                    help="test-time pose noise: rotation std [rad]")
     return p.parse_args(argv)
@@ -67,6 +69,8 @@ def main(argv=None):
     over = {"fusion_layer": args.layer}
     if args.score_threshold is not None:
         over["score_threshold"] = args.score_threshold
+    if args.warp_dtype:
+        over["warp_dtype"] = args.warp_dtype
     cfg = Config(**over) if args.grid == 256 else tiny_config(args.grid, **over)
 
     dataset = V2XSimDet(args.data, cfg, rsu=bool(args.rsu), bound=args.bound,

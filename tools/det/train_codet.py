@@ -63,6 +63,8 @@ def parse_args(argv=None):
     p.add_argument("--nworker", type=int, default=2, help="(prefetch depth; kept for CLI compat)")
     p.add_argument("--visualization", type=int, default=0)
     p.add_argument("--warp_flag", type=int, default=1, help="when2com: warp values")
+    p.add_argument("--warp_dtype", type=str, default=None, choices=["bfloat16", "float32"],
+                   help="inference warp dtype override (config.warp_dtype; training warps are always f32)")
     # --- rebuild extras ---
     p.add_argument("--grid", type=int, default=256, help="BEV grid cells (256 = reference)")
     p.add_argument("--seed", type=int, default=0)
@@ -83,11 +85,10 @@ def parse_args(argv=None):
 
 
 def make_config(args) -> Config:
-    if args.grid == 256:
-        cfg = Config(kd_weight=args.kd_weight, fusion_layer=args.layer)
-    else:
-        cfg = tiny_config(args.grid, kd_weight=args.kd_weight, fusion_layer=args.layer)
-    return cfg
+    over = dict(kd_weight=args.kd_weight, fusion_layer=args.layer)
+    if getattr(args, "warp_dtype", None):
+        over["warp_dtype"] = args.warp_dtype
+    return Config(**over) if args.grid == 256 else tiny_config(args.grid, **over)
 
 
 def mode_name(args) -> str:
