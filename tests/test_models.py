@@ -137,6 +137,47 @@ def test_pair1x1_matches_concat_conv():
     np.testing.assert_allclose(np.asarray(y_pair), np.asarray(y_cat), atol=1e-5)
 
 
+def test_bf16_warp_is_inference_only(monkeypatch):
+    """config.warp_dtype='bfloat16' must apply the bf16 warp ONLY when
+    train=False: training through quantized warps measured −0.11 mAP@0.7
+    (models/base.py). The gate is also TPU-only, so fake the backend check
+    to exercise the bf16 branch on the CPU test backend (single-device CPU
+    executes the bf16 einsum fine; only the sharded DotThunk cannot)."""
+    import dataclasses
+
+    import disconet_tpu.models.base as base
+
+    bev, trans_id, mask = _inputs()
+    # non-identity poses so the warp actually resamples
+    trans = np.tile(np.eye(4, dtype=np.float32), (B, A, A, 1, 1))
+    th = 0.2
+    for i in range(A):
+        for j in range(A):
+            if i != j:
+                trans[:, i, j, :2, :2] = [[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]]
+                trans[:, i, j, :2, 3] = [0.5, -0.25]
+    trans = jnp.asarray(trans)
+
+    cfg16 = dataclasses.replace(CFG, warp_dtype="bfloat16")
+    cfg32 = dataclasses.replace(CFG, warp_dtype="float32")
+    m16 = build_model("disco", cfg16)
+    m32 = build_model("disco", cfg32)
+    variables = m32.init(jax.random.PRNGKey(0), bev, trans, mask, train=False)
+
+    monkeypatch.setattr(base.jax, "default_backend", lambda: "tpu")
+    # train=True: gate forces f32 — identical to the f32 config
+    o16_t, _ = m16.apply(variables, bev, trans, mask, train=True, mutable=["batch_stats"])
+    o32_t, _ = m32.apply(variables, bev, trans, mask, train=True, mutable=["batch_stats"])
+    assert np.array_equal(np.asarray(o16_t["cls"]), np.asarray(o32_t["cls"]))
+    # train=False: bf16 warp active — close to f32 but not bit-equal
+    o16_e = m16.apply(variables, bev, trans, mask, train=False)
+    o32_e = m32.apply(variables, bev, trans, mask, train=False)
+    c16 = np.asarray(o16_e["cls"], np.float32)
+    c32 = np.asarray(o32_e["cls"], np.float32)
+    assert not np.array_equal(c16, c32)
+    np.testing.assert_allclose(c16, c32, atol=0.15)
+
+
 def test_head_in_dtype_bf16_det_outputs_identical():
     """config.head_in_dtype only changes the STORAGE of the head_conv output;
     the det heads matmul casts its input to compute dtype either way, so
