@@ -159,6 +159,20 @@ class Config:
     # the inference cast too (the exact / torch-grid_sample oracle mode).
     warp_dtype: str = "bfloat16"
 
+    # Candidate selection for the predict/NMS path when the packed head
+    # tensor is available (binary class). True: select straight from raw
+    # logits via the lane-roll cell max (ops/nms.py rotated_nms_decode_packed
+    # + _cell_max_logit_diff) — ONE fused full-register-width pass over the
+    # packed tensor, no (H, W, NA)-minor score tensor is ever materialized
+    # (minor-dim-6 tensors run at 6/128 TPU lane utilization, which is what
+    # made both the dense-score path and the first sliced-lane packed variant
+    # slow). False: materialize sigmoid scores once and run the two-level
+    # spatial top-k on them (the pre-lane-roll production path). See
+    # tools/bench_cand.py; selection semantics note in
+    # rotated_nms_decode_packed's docstring (logit-domain ranking breaks
+    # sigmoid-saturation ties differently; unit-tested equal keep sets).
+    packed_nms: bool = False
+
     # Segmentation (SURVEY.md C3): ~8 BEV semantic classes.
     num_seg_classes: int = 8
 

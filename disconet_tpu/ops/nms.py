@@ -118,6 +118,29 @@ def _select_candidates_spatial(scores, score_threshold, top_k, exact_top_k):
     return vals, (h, w, a)
 
 
+def _cell_max_logit_diff(raw: jnp.ndarray, num_anchors: int) -> jnp.ndarray:
+    """Per-cell max over anchors of the foreground-vs-background logit diff,
+    computed with full-register-width lane ops on the packed head tensor.
+
+    ``diff[a] = raw[..., NA+a] - raw[..., a]`` for ``a < NA`` (class-major cls
+    block, see models/backbone.py DetectionHeads). Slicing those lanes out
+    materializes (H, W, NA) intermediates whose minor dim (NA=6 at the
+    reference geometry) occupies 6 of the 128 TPU lanes — every elementwise
+    and reduce op over them runs at ~5% lane utilization, which is why the
+    first packed-selection attempt measured *slower* than the dense-score
+    path. Rolling the lane axis by -NA instead aligns every class-1 logit
+    over its class-0 partner at full register width, so the subtract, the
+    lane mask and the minor-dim max all run on the native 48-lane layout and
+    fuse into ONE pass over ``raw`` (no (H, W, NA) tensor exists at all).
+    Lanes >= NA of the rolled difference are garbage (reg-block wraparound)
+    and masked to -inf before the reduce.
+    """
+    r = raw.astype(jnp.float32)
+    d = jnp.roll(r, -num_anchors, axis=-1) - r
+    lane = jax.lax.broadcasted_iota(jnp.int32, d.shape, d.ndim - 1)
+    return jnp.max(jnp.where(lane < num_anchors, d, -jnp.inf), axis=-1)
+
+
 def _pad_to(x, top_k, fill):
     pad = top_k - x.shape[0]
     if pad <= 0:
@@ -227,19 +250,18 @@ def rotated_nms_decode_packed(
     it breaks by index while this path still orders by true logit — the
     selected *sets* can then differ among score-1.0 anchors.
 
-    MEASURED NOTE (v5e, reference geometry, batch 16): inside the full
-    predict graph this fusion ran SLOWER than materializing the score tensor
-    once (196.7 -> 149 scenes/s e2e) — XLA schedules the strided-lane reduce
-    + two-level top-k better from a dense score tensor. The production
-    predict path therefore uses :func:`packed_scores_and_deltas` +
-    :func:`rotated_nms_decode`; this variant is kept as the measured
-    alternative (it may win at other geometries/anchor counts).
+    MEASURED NOTE (v5e, reference geometry, batch 16): the first version of
+    this fusion sliced the cls lanes out (``raw[..., NA:2NA] - raw[..., :NA]``)
+    and ran SLOWER in-graph than materializing the score tensor once
+    (196.7 -> 149 scenes/s e2e) — the sliced (H, W, NA) intermediates run at
+    NA/128 lane utilization. The :func:`_cell_max_logit_diff` lane-roll
+    formulation removes those intermediates entirely (one full-width fused
+    pass over ``raw``); see tools/bench_cand.py for the head-to-head timing.
     """
     H, W, C = raw.shape
     NA = num_anchors
-    # logit difference: fuses with the cell-max reduce in one pass over raw
-    diff = raw[..., NA : 2 * NA].astype(jnp.float32) - raw[..., :NA].astype(jnp.float32)
-    cells = _top_cells(jnp.max(diff, axis=-1).reshape(-1), top_k, exact_top_k)
+    # full-width fused pass over raw: no (H, W, NA)-minor intermediate
+    cells = _top_cells(_cell_max_logit_diff(raw, NA).reshape(-1), top_k, exact_top_k)
     rows = raw[cells // W, cells % W]  # (k, C) winner rows, one gather
     diff_rows = rows[:, NA : 2 * NA].astype(jnp.float32) - rows[:, :NA].astype(jnp.float32)
     kk = min(top_k, diff_rows.size)

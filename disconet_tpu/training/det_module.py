@@ -37,6 +37,7 @@ from disconet_tpu.ops.nms import (
     foreground_scores,
     packed_scores_and_deltas,
     rotated_nms_decode,
+    rotated_nms_decode_packed,
 )
 
 
@@ -233,13 +234,35 @@ def make_predict_step(model, config: Config) -> Callable:
             train=False,
         )
         B, A = out["cls"].shape[:2]
+        if (
+            "head_raw" in out
+            and config.num_classes == 2
+            and getattr(config, "packed_nms", False)
+        ):
+            # fastest path: candidate selection straight from the packed raw
+            # logits via the lane-roll cell max — no (H, W, NA)-minor score
+            # tensor exists at all (see config.packed_nms / tools/bench_cand.py)
+            raw = out["head_raw"].reshape((B * A,) + out["head_raw"].shape[2:])
+            nms_packed = functools.partial(
+                rotated_nms_decode_packed,
+                anchors=jnp.asarray(anchors),
+                num_anchors=config.num_anchors,
+                iou_threshold=config.nms_iou_threshold,
+                score_threshold=config.score_threshold,
+                top_k=K,
+            )
+            b, s, keep = jax.vmap(nms_packed)(raw)
+            return (
+                b.reshape(B, A, K, 5),
+                s.reshape(B, A, K),
+                keep.reshape(B, A, K) & batch["agent_mask"][:, :, None],
+            )
         if "head_raw" in out and config.num_classes == 2:
             # fast path: stay in the conv-native packed channel layout —
-            # no relayout of the head outputs (ops/nms.py helper). NOTE: the
-            # further fusion of skipping the score tensor entirely
-            # (rotated_nms_decode_packed) measured SLOWER in-graph on v5e
-            # (196.7 -> 149 scenes/s) — materializing scores once lets XLA
-            # schedule the reduce/top-k better; measured, not assumed.
+            # no relayout of the head outputs (ops/nms.py helper). The
+            # pre-lane-roll history: skipping the score tensor with SLICED
+            # lane diffs measured slower (196.7 -> 149 scenes/s, minor-dim-6
+            # intermediates); config.packed_nms above is the fixed version.
             raw = out["head_raw"].reshape((B * A,) + out["head_raw"].shape[2:])
             scores, deltas = packed_scores_and_deltas(raw, config.num_anchors)
         else:
