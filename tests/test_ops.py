@@ -226,6 +226,49 @@ class TestNMS:
         np.testing.assert_allclose(np.asarray(b_p), np.asarray(b_s), atol=1e-6)
         np.testing.assert_array_equal(np.asarray(k_p), np.asarray(k_s))
 
+    def test_suppress_fixpoint_matches_sequential(self):
+        """_suppress (while-loop fixpoint) == _suppress_sequential (K-step scan).
+
+        Includes the adversarial alternating chain — a line of overlapping
+        boxes where greedy keeps every other one, so each decision depends on
+        the previous one (maximum suppression-chain depth; any one-pass
+        "suppressed by anything stronger" approximation gets it wrong) — plus
+        random sets and a vmapped batch (the production shape: while_loop
+        under vmap runs until every frame converges).
+        """
+        from disconet_tpu.ops.nms import _suppress, _suppress_sequential
+
+        K = 32
+        # alternating chain: x = 0, 1.2, 2.4, ... with width 2 -> neighbors
+        # overlap, next-nearest don't; scores strictly descending by index
+        chain = np.zeros((K, 5), np.float32)
+        chain[:, 0] = np.arange(K) * 1.2
+        chain[:, 2] = 2.0
+        chain[:, 3] = 2.0
+        chain_scores = np.linspace(0.9, 0.5, K).astype(np.float32)
+        keep_fix = np.asarray(
+            _suppress(jnp.asarray(chain), jnp.asarray(chain_scores), 0.1, K)
+        )
+        keep_seq = np.asarray(
+            _suppress_sequential(jnp.asarray(chain), jnp.asarray(chain_scores), 0.1, K)
+        )
+        np.testing.assert_array_equal(keep_fix, keep_seq)
+        assert keep_fix.sum() == (K + 1) // 2  # every other box survives
+
+        rng = np.random.default_rng(31)
+        for thr in (0.01, 0.3):
+            boxes = jnp.asarray(
+                np.stack([_random_boxes(K, rng, spread=8.0) for _ in range(6)])
+            )
+            scores = jnp.asarray(rng.uniform(0, 1, size=(6, K)).astype(np.float32))
+            # some dead slots, like post-threshold candidates
+            scores = scores.at[:, K - 4 :].set(-1.0)
+            got = jax.vmap(lambda b, s: _suppress(b, s, thr, K))(boxes, scores)
+            want = jax.vmap(lambda b, s: _suppress_sequential(b, s, thr, K))(
+                boxes, scores
+            )
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
     def test_heads_raw_matches_logical_views(self):
         """DetectionHeads raw packed output == its logical (cls, reg) views."""
         from disconet_tpu.models.backbone import DetectionHeads
