@@ -15,6 +15,16 @@ the reference geometry (96 frames x 256^2 x (2+6)*6 lanes):
   full    — both variants through suppression (the e2e-relevant compare).
 
 Usage: python tools/bench_cand.py   (BENCH_BATCH=16 default)
+
+MEASURED (v5e, 2026-08-19, 96 frames): dense_cand 9.0 / packed_cand 44.2 ms;
+the q_* prefix probes attribute the packed path's cost: q_cellmax 8.7 ms —
+the ``jnp.roll`` lane rotation of the full bf16 packed tensor is itself ~3x
+the dense path's whole score-materialization pass (p_cellmax 3.1 ms: sigmoid
+scores + minor-dim max fuse into one read of ``raw``); the winner-row gather
+adds only ~1 ms (q_rowgather - q_l1topk), and the remaining ~33 ms sits in
+the tiny post-gather ops XLA schedules poorly in this formulation. Conclusion:
+cross-lane shuffles of HBM-resident tensors cost like relayouts, and the
+dense path (config.packed_nms=False) stays the production default.
 """
 
 from __future__ import annotations
@@ -144,6 +154,38 @@ def main():
 
         return jnp.sum(jax.vmap(one)(raw))
 
+    # packed-path probes: where do packed_cand's ms go? (q_* = cumulative
+    # prefixes of the packed formulation)
+    def q_cellmax(raw):
+        def one(r):
+            return checksum(_cell_max_logit_diff(r, NA))
+
+        return jnp.sum(jax.vmap(one)(raw))
+
+    def q_l1topk(raw):
+        def one(r):
+            cells = _top_cells(_cell_max_logit_diff(r, NA).reshape(-1), K, False)
+            return checksum(cells.astype(jnp.float32))
+
+        return jnp.sum(jax.vmap(one)(raw))
+
+    def q_rowgather(raw):
+        def one(r):
+            cells = _top_cells(_cell_max_logit_diff(r, NA).reshape(-1), K, False)
+            rows = r[cells // W, cells % W]
+            return checksum(rows)
+
+        return jnp.sum(jax.vmap(one)(raw))
+
+    def q_rowgather_flat(raw):
+        # same gather expressed over the flattened (H*W, C) view
+        def one(r):
+            cells = _top_cells(_cell_max_logit_diff(r, NA).reshape(-1), K, False)
+            rows = jnp.take(r.reshape(H * W, -1), cells, axis=0)
+            return checksum(rows)
+
+        return jnp.sum(jax.vmap(one)(raw))
+
     for name, fn in [
         ("dense_cand", dense_cand),
         ("packed_cand", packed_cand),
@@ -152,6 +194,10 @@ def main():
         ("p_scores", probe_scores_only),
         ("p_cellmax", probe_cellmax_only),
         ("p_l1topk", probe_level1_topk),
+        ("q_cellmax", q_cellmax),
+        ("q_l1topk", q_l1topk),
+        ("q_rowgather", q_rowgather),
+        ("q_rowgather_flat", q_rowgather_flat),
     ]:
         f = jax.jit(fn)
         for _ in range(WARMUP):
