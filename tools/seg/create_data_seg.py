@@ -9,10 +9,11 @@ Two modes:
     the exact per-agent npy-dict schema (data/schema.py) — the offline-capable
     path this environment uses for all development (SURVEY.md §0: no V2X-Sim
     download possible).
-  * ``--mode nuscenes``: walk a V2X-Sim 2.0 release in nuScenes format and dump
-    the same schema (reference behavior). Requires ``nuscenes-devkit``, which
-    is not installed in this image — the code path is gated with a clear error
-    so the CLI surface still matches the reference.
+  * ``--mode nuscenes``: walk a V2X-Sim 2.0 release in nuScenes format
+    (``--root``) and dump seg frames (``seg_label`` from per-point semantic
+    labels + rasterized gt vehicle boxes; data/nuscenes_walker.py
+    ::create_seg_data_from_nuscenes). Requires ``nuscenes-devkit``; the import
+    is gated with a clear error.
 """
 
 from __future__ import annotations
@@ -42,9 +43,23 @@ def main(argv=None):
     p.add_argument("--frames", type=int, default=10, help="synthetic: frames per scene")
     p.add_argument("--seed", type=int, default=None, help="synthetic: rng seed (default: by split)")
     p.add_argument("--grid", type=int, default=256)
+    p.add_argument("--version", type=str, default="v2.0-mini", help="nuscenes: release version string")
+    p.add_argument("--sweeps", type=int, default=1, help="nuscenes: LiDAR sweeps to aggregate per frame")
+    p.add_argument("--scene_begin", type=int, default=None,
+                   help="nuscenes: first scene index (default: by split, SPLIT_SCENE_RANGES)")
+    p.add_argument("--scene_end", type=int, default=None,
+                   help="nuscenes: one past the last scene index (default: by split)")
     args = p.parse_args(argv)
 
+    cfg = Config(split=args.split) if args.grid == 256 else tiny_config(args.grid, split=args.split)
+    out = os.path.join(args.savepath, args.split)
+
     if args.mode == "nuscenes":
+        if not args.root or not os.path.isdir(args.root):
+            raise SystemExit(
+                f"--mode nuscenes needs --root pointing at a V2X-Sim release "
+                f"directory (got {args.root!r})."
+            )
         try:
             import nuscenes  # noqa: F401
         except ImportError:
@@ -53,11 +68,21 @@ def main(argv=None):
                 "walker needs it (SURVEY.md C4). Use --mode synthetic, or install "
                 "nuscenes-devkit and re-run."
             )
-        raise SystemExit("nuscenes mode: V2X-Sim release not available offline (SURVEY.md §0)")
+        from disconet_tpu.data.nuscenes_walker import SPLIT_SCENE_RANGES, create_seg_data_from_nuscenes
 
-    cfg = Config(split=args.split) if args.grid == 256 else tiny_config(args.grid, split=args.split)
+        lo, hi = SPLIT_SCENE_RANGES[args.split]
+        if args.scene_begin is not None:
+            lo = args.scene_begin
+        if args.scene_end is not None:
+            hi = args.scene_end
+        n_files = create_seg_data_from_nuscenes(
+            args.root, out, cfg, version=args.version,
+            scene_range=(lo, hi), sweeps=args.sweeps,
+        )
+        print(f"wrote {n_files} agent-frames (scenes [{lo}, {hi})) under {out}")
+        return
+
     seed = args.seed if args.seed is not None else {"train": 0, "val": 10_000, "test": 20_000}[args.split]
-    out = os.path.join(args.savepath, args.split)
     n_files, n_frames = generate_dataset(
         out, cfg, num_scenes=args.scenes, frames_per_scene=args.frames, seed=seed
     )
