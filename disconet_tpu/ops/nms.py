@@ -331,6 +331,59 @@ def rotated_nms_decode_packed(
 
 
 @functools.partial(jax.jit, static_argnames=("top_k", "exact_top_k"))
+def multiclass_nms_decode(
+    deltas: jnp.ndarray,
+    cls_logits: jnp.ndarray,
+    anchors: jnp.ndarray,
+    iou_threshold: float,
+    score_threshold: float = 0.0,
+    top_k: int = 256,
+    exact_top_k: bool = False,
+):
+    """Per-class rotated NMS over encoded predictions (SURVEY.md C20/§4.2:
+    the reference ``predict_all`` runs NMS independently per object class).
+
+    Args:
+        deltas: (H, W, A, code) per-anchor box deltas (class-agnostic
+            regression, as in the reference).
+        cls_logits: (H, W, A, C) raw class logits, class 0 = background.
+        anchors: (H, W, A, 5).
+        others: as :func:`rotated_nms_decode`.
+
+    Each foreground class c gets its own candidate selection (softmax
+    probability of c), decode, and greedy suppression — boxes of different
+    classes never suppress each other, exactly the reference's per-class
+    loop, but as one vmap over the class axis. For C == 2 this reduces to
+    :func:`rotated_nms_decode` on the foreground scores.
+
+    Returns:
+        boxes ((C-1)*top_k, 5), scores, keep, labels (int32 class ids 1..C-1),
+        flattened class-major so downstream host filtering is unchanged.
+    """
+    C = cls_logits.shape[-1]
+    probs = jax.nn.softmax(cls_logits.astype(jnp.float32), axis=-1)
+    per_class = jnp.moveaxis(probs[..., 1:], -1, 0)  # (C-1, H, W, A)
+    nms = functools.partial(
+        rotated_nms_decode,
+        anchors=anchors,
+        iou_threshold=iou_threshold,
+        score_threshold=score_threshold,
+        top_k=top_k,
+        exact_top_k=exact_top_k,
+    )
+    boxes, scores, keep = jax.vmap(lambda s: nms(deltas, s))(per_class)
+    labels = jnp.broadcast_to(
+        jnp.arange(1, C, dtype=jnp.int32)[:, None], (C - 1, top_k)
+    )
+    return (
+        boxes.reshape(-1, 5),
+        scores.reshape(-1),
+        keep.reshape(-1),
+        labels.reshape(-1),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("top_k", "exact_top_k"))
 def rotated_nms_decode(
     deltas: jnp.ndarray,
     scores: jnp.ndarray,

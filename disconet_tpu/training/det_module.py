@@ -221,6 +221,11 @@ def make_predict_step(model, config: Config) -> Callable:
 
     Returns fixed-size per-agent detections: boxes (B, A, K, 5), scores
     (B, A, K), keep (B, A, K) bool. Host code filters by keep & agent_mask.
+
+    Multi-class configs (``config.num_classes > 2``) run the reference's
+    per-class NMS (ops/nms.py::multiclass_nms_decode) and return a 4-tuple
+    ``(boxes, scores, keep, labels)`` with K' = (num_classes-1)*K slots per
+    agent; the binary contract above is unchanged.
     """
     anchors = make_anchors(config)  # (H, W, A, 5) trace-time constant
     K = config.nms_top_k
@@ -234,6 +239,26 @@ def make_predict_step(model, config: Config) -> Callable:
             train=False,
         )
         B, A = out["cls"].shape[:2]
+        if config.num_classes > 2:
+            from disconet_tpu.ops.nms import multiclass_nms_decode
+
+            deltas = out["reg"].reshape((B * A,) + out["reg"].shape[2:]).astype(jnp.float32)
+            cls = out["cls"].reshape((B * A,) + out["cls"].shape[2:])
+            mc = functools.partial(
+                multiclass_nms_decode,
+                anchors=jnp.asarray(anchors),
+                iou_threshold=config.nms_iou_threshold,
+                score_threshold=config.score_threshold,
+                top_k=K,
+            )
+            b, s, keep, lbl = jax.vmap(mc)(deltas, cls)
+            KT = (config.num_classes - 1) * K
+            return (
+                b.reshape(B, A, KT, 5),
+                s.reshape(B, A, KT),
+                keep.reshape(B, A, KT) & batch["agent_mask"][:, :, None],
+                lbl.reshape(B, A, KT),
+            )
         if (
             "head_raw" in out
             and config.num_classes == 2

@@ -387,6 +387,69 @@ class TestNMS:
         np.testing.assert_allclose(got, 1.0 - p[..., 0], atol=1e-6)
         assert got[0] > 0.99
 
+    def test_multiclass_nms_per_class_suppression(self):
+        """Reference predict_all runs NMS per class (SURVEY.md C20/§4.2):
+        duplicates suppress within a class; identical boxes of different
+        classes both survive."""
+        from disconet_tpu.ops.boxes import encode_boxes_np, make_anchors
+        from disconet_tpu.ops.nms import multiclass_nms_decode
+
+        cfg = tiny_config(32, num_classes=3)
+        anchors = make_anchors(cfg)  # (H, W, A, 5)
+        H, W, A = anchors.shape[:3]
+        code = cfg.box_code_size
+        box = np.array([1.0, 1.5, 2.0, 4.0, 0.3], np.float32)
+
+        logits = np.zeros((H, W, A, 3), np.float32)
+        logits[..., 0] = 6.0  # background everywhere
+        deltas = np.zeros((H, W, A, code), np.float32)
+        slots = [(10, 10, 0, 1, 9.0),   # class 1, top
+                 (10, 11, 0, 1, 8.0),   # class 1, duplicate -> suppressed
+                 (11, 10, 0, 2, 9.0)]   # class 2, same box -> survives
+        for h, w, a, c, lg in slots:
+            logits[h, w, a] = [-6.0, -6.0, -6.0]
+            logits[h, w, a, c] = lg
+            deltas[h, w, a] = encode_boxes_np(box[None], anchors[h, w, a][None])[0]
+
+        b, s, keep, lbl = multiclass_nms_decode(
+            jnp.asarray(deltas), jnp.asarray(logits), jnp.asarray(anchors),
+            iou_threshold=0.3, score_threshold=0.3, top_k=8,
+        )
+        b, s, keep, lbl = map(np.asarray, (b, s, keep, lbl))
+        kept = np.nonzero(keep)[0]
+        assert len(kept) == 2, (kept, s[kept], lbl[kept])
+        assert sorted(lbl[kept].tolist()) == [1, 2]
+        for i in kept:
+            np.testing.assert_allclose(b[i], box, atol=1e-4)
+
+    def test_multiclass_nms_binary_reduces_to_foreground_path(self):
+        from disconet_tpu.ops.boxes import make_anchors
+        from disconet_tpu.ops.nms import (
+            foreground_scores,
+            multiclass_nms_decode,
+            rotated_nms_decode,
+        )
+
+        cfg = tiny_config(32)
+        anchors = make_anchors(cfg)
+        H, W, A = anchors.shape[:3]
+        rng = np.random.default_rng(11)
+        logits = rng.normal(0, 2, size=(H, W, A, 2)).astype(np.float32)
+        deltas = rng.normal(0, 0.1, size=(H, W, A, cfg.box_code_size)).astype(np.float32)
+        b1, s1, k1, lbl = multiclass_nms_decode(
+            jnp.asarray(deltas), jnp.asarray(logits), jnp.asarray(anchors),
+            iou_threshold=0.3, score_threshold=0.5, top_k=16, exact_top_k=True,
+        )
+        b2, s2, k2 = rotated_nms_decode(
+            jnp.asarray(deltas), foreground_scores(jnp.asarray(logits)),
+            jnp.asarray(anchors),
+            iou_threshold=0.3, score_threshold=0.5, top_k=16, exact_top_k=True,
+        )
+        np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+        assert np.all(np.asarray(lbl) == 1)
+
 
 class TestVoxelize:
     def test_matches_oracle_random(self):

@@ -171,6 +171,27 @@ def test_eval_and_predict_steps():
     assert keep.shape == (B, A, K)
 
 
+def test_predict_step_multiclass_returns_labels():
+    """num_classes > 2 routes predict through the per-class NMS (SURVEY.md
+    C20/§4.2) and returns the 4-tuple contract with (C-1)*K slots."""
+    cfg3 = tiny_config(32, num_classes=3)
+    batch = _batch()
+    batch["agent_mask"] = np.array([[True, False], [True, True]])
+    model = build_model("disco", cfg3)
+    state = create_train_state(model, cfg3, jax.random.PRNGKey(0), batch)
+    pr = make_predict_step(model, cfg3)
+    dev = batch_to_device(batch)
+    boxes, scores, keep, labels = pr(state, dev)
+    KT = 2 * cfg3.nms_top_k
+    assert boxes.shape == (B, A, KT, 5)
+    assert scores.shape == (B, A, KT) and keep.shape == (B, A, KT)
+    lbl = np.asarray(labels)
+    assert lbl.shape == (B, A, KT) and set(np.unique(lbl)) <= {1, 2}
+    # absent agents report nothing
+    mask = np.array(batch["agent_mask"])
+    assert not np.asarray(keep)[~mask].any()
+
+
 def test_pad_frame_does_not_leak():
     """A padded (zero, all-masked) tail frame must not change real frames'
     predictions AT ALL — compared bitwise at a fixed batch shape (same
