@@ -30,12 +30,20 @@ def clear_mot(
         iou_threshold: a correspondence is valid while IoU >= this.
     Returns:
         dict with MOTA, MOTP, misses, false_positives, id_switches, num_gt,
-        matches, mostly-tracked helpers are left to callers.
+        matches, and the trajectory-level CLEAR extensions: MT / PT / ML
+        (gt trajectories tracked >= 80% / in between / <= 20% of their
+        frames), num_trajectories, and FRAG (interruptions of a trajectory's
+        tracked status: maximal tracked runs minus one, summed over gt ids).
     """
     assert len(gt_frames) == len(hyp_frames)
     misses = fps = idsw = num_gt = matches = 0
     iou_sum = 0.0
     corr: Dict[int, int] = {}  # gt id -> last matched hyp id (kept + idsw check)
+    # per gt id: frames present, frames matched, tracked runs (for MT/ML/FRAG)
+    present: Dict[int, int] = {}
+    tracked: Dict[int, int] = {}
+    runs: Dict[int, int] = {}
+    in_run: Dict[int, bool] = {}
 
     for (g_boxes, g_ids), (h_boxes, h_ids) in zip(gt_frames, hyp_frames):
         g_boxes = np.asarray(g_boxes, np.float64).reshape(-1, 5)
@@ -81,8 +89,30 @@ def clear_mot(
         misses += len(g_ids) - len(matched_g)
         fps += len(h_ids) - len(used_h)
 
+        # trajectory bookkeeping (MT/ML/FRAG)
+        matched_ids = {g_ids[gi] for gi in matched_g}
+        for gid in g_ids:
+            present[gid] = present.get(gid, 0) + 1
+            if gid in matched_ids:
+                tracked[gid] = tracked.get(gid, 0) + 1
+                if not in_run.get(gid, False):
+                    runs[gid] = runs.get(gid, 0) + 1
+                    in_run[gid] = True
+            else:
+                in_run[gid] = False
+
     mota = 1.0 - (misses + fps + idsw) / max(num_gt, 1)
     motp = iou_sum / max(matches, 1)
+    mt = pt = ml = frag = 0
+    for gid, n_present in present.items():
+        ratio = tracked.get(gid, 0) / n_present
+        if ratio >= 0.8:
+            mt += 1
+        elif ratio <= 0.2:
+            ml += 1
+        else:
+            pt += 1
+        frag += max(0, runs.get(gid, 0) - 1)
     return {
         "MOTA": mota,
         "MOTP": motp,
@@ -91,4 +121,9 @@ def clear_mot(
         "id_switches": idsw,
         "num_gt": num_gt,
         "matches": matches,
+        "MT": mt,
+        "PT": pt,
+        "ML": ml,
+        "FRAG": frag,
+        "num_trajectories": len(present),
     }

@@ -93,8 +93,9 @@ def test_train_resume_test_track_cycle(data_root, tmp_path):
         det_tol = 6 if r1[0] == "average" else 2  # average sums per-agent flips
         assert abs(int(r1[4]) - int(r2[4])) <= det_tol, (r1, r2)
 
-    # SORT + CLEAR-MOT over the dumps
-    det_dir = os.path.join(logs, "det_dumps")
+    # SORT + CLEAR-MOT over the dumps (README.md:86-91 directory convention:
+    # {logpath}/{mode}/{no_rsu|with_rsu}/{split}/det_dumps)
+    det_dir = os.path.join(logs, "lowerbound", "with_rsu", "test", "det_dumps")
     if os.path.isdir(det_dir) and os.listdir(det_dir):
         out = _run(["tools/track/sort.py", "--det_logs_path", det_dir,
                     "--out", os.path.join(logs, "tracks")])

@@ -111,6 +111,42 @@ def test_clear_mot_miss_and_fp():
     assert r["MOTA"] == -1.0
 
 
+def test_clear_mot_mt_ml_frag():
+    """Trajectory-level CLEAR extensions (VERDICT r1 #6): gt 1 is tracked
+    5/5 frames (MT), gt 2 is tracked frames 1,2,5 of 5 with a gap (PT at 60%,
+    one fragmentation), gt 3 is tracked 0/5 (ML)."""
+    far = _box(50, 50)
+    b1, b2, b3 = _box(0, 0), _box(20, 0), _box(40, 0)
+    seq_gt, seq_hyp = [], []
+    hyp2_present = [True, True, False, False, True]
+    for f in range(5):
+        seq_gt.append((np.stack([b1, b2, b3]), np.array([1, 2, 3])))
+        hyps, ids = [b1], [10]
+        if hyp2_present[f]:
+            hyps.append(b2)
+            ids.append(20)
+        seq_hyp.append((np.stack(hyps), np.array(ids)))
+    r = clear_mot(seq_gt, seq_hyp, iou_threshold=0.5)
+    assert r["num_trajectories"] == 3
+    assert r["MT"] == 1 and r["PT"] == 1 and r["ML"] == 1
+    assert r["FRAG"] == 1
+    # gt3 never matched: 5 misses; gt2 missed twice
+    assert r["misses"] == 7 and r["false_positives"] == 0
+
+
+def test_clear_mot_frag_counts_each_interruption():
+    b = _box(0, 0)
+    pattern = [True, False, True, False, True]  # two interruptions
+    seq_gt = [(np.stack([b]), np.array([1]))] * 5
+    seq_hyp = [
+        (np.stack([b]) if p else np.zeros((0, 5)), np.array([4]) if p else np.zeros(0, int))
+        for p in pattern
+    ]
+    r = clear_mot(seq_gt, seq_hyp, iou_threshold=0.5)
+    assert r["FRAG"] == 2
+    assert r["MT"] == 0 and r["PT"] == 1  # 3/5 = 60% tracked
+
+
 def test_sort_tracks_moving_box():
     import sys, os
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools", "track"))

@@ -45,6 +45,10 @@ def parse_args(argv=None):
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--rsu", type=int, default=1)
     p.add_argument("--tracking", action="store_true", help="dump MOT-style det files")
+    p.add_argument("--split", type=str, default="test",
+                   help="split label for the tracking-dump directory layout "
+                        "({logpath}/{mode}/{no_rsu|with_rsu}/{split}/det_dumps, "
+                        "README.md:86-91 Makefile convention)")
     p.add_argument("--apply_late_fusion", type=int, default=0,
                    help="late collaboration: merge neighbors' boxes into each agent (C8)")
     p.add_argument("--logpath", type=str, default="logs")
@@ -188,7 +192,12 @@ def main(argv=None):
     overall["mAP@0.5"], overall["mAP@0.7"] = ap50, ap70
 
     if args.tracking:
-        det_dir = os.path.join(args.logpath, "det_dumps")
+        # README.md:86-91 layout: {logpath}/{mode}/{no_rsu|with_rsu}/{split}/
+        # det_dumps — `make sort mode=disco/no_rsu split=test` composes the
+        # same default path (tools/track/Makefile)
+        mode = args.com or args.bound or "lowerbound"
+        rsu_dir = "with_rsu" if args.rsu else "no_rsu"
+        det_dir = os.path.join(args.logpath, mode, rsu_dir, args.split, "det_dumps")
         os.makedirs(det_dir, exist_ok=True)
         for (a, scene), rows in track_rows.items():
             path = os.path.join(det_dir, f"det_agent{a}_scene{scene}.txt")

@@ -205,6 +205,7 @@ def main(argv=None):
 
     step = 0
     profiler_span = None
+    predict_vis = None  # built lazily on first --visualization render
     for epoch in range(start_epoch + 1, args.nepoch + 1):
         t_ep = time.time()
         last = {}
@@ -236,12 +237,54 @@ def main(argv=None):
             if args.save_pth:
                 save_pth(os.path.join(logdir, f"epoch_{epoch}.pth"), host_state,
                          epoch, loss=last.get("loss", 0.0))
+            if args.visualization:
+                if predict_vis is None:
+                    from disconet_tpu.training import make_predict_step
+
+                    predict_vis = make_predict_step(model, cfg)
+                _render_train_panel(cfg, predict_vis, state, sample, to_device,
+                                    logdir, epoch)
     if profiler_span is not None:  # run ended before 2 + --profile steps
         profiler_span.__exit__(None, None, None)
         print(f"profiler trace written to {os.path.join(logdir, 'profile')} "
               f"(run ended before --profile {args.profile} steps completed)")
     logger.close()
     print(f"training complete: {args.nepoch} epochs, checkpoints in {logdir}")
+
+
+def _render_train_panel(cfg, predict, state, batch, to_device, logdir, epoch):
+    """``--visualization`` (SURVEY.md C22): per checkpointed epoch, render one
+    BEV panel of the current model's detections vs gt on the fixed sample
+    batch under ``{logdir}/vis`` — training-progress eyeballing, the
+    reference's train-CLI visualization role."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from disconet_tpu.training.det_module import get_bev_np
+    from disconet_tpu.utils.visualization import render_bev
+
+    preds = predict(state, to_device(dict(batch)))
+    boxes, scores, keep = (np.asarray(x) for x in preds[:3])
+    b = 0
+    mask = np.asarray(batch["agent_mask"][b]).astype(bool)
+    if not mask.any():
+        return
+    a = int(np.flatnonzero(mask)[0])
+    k = keep[b, a]
+    fig = render_bev(
+        cfg,
+        get_bev_np(batch, "bev", cfg)[b, a],
+        batch["gt_boxes"][b][a],
+        boxes[b, a][k],
+        scores[b, a][k],
+    )
+    out_dir = os.path.join(logdir, "vis")
+    os.makedirs(out_dir, exist_ok=True)
+    fig.savefig(os.path.join(out_dir, f"epoch_{epoch}_a{a}.png"), dpi=100)
+    plt.close(fig)
+    print(f"visualization: {os.path.join(out_dir, f'epoch_{epoch}_a{a}.png')}")
 
 
 if __name__ == "__main__":

@@ -77,30 +77,37 @@ def main(argv=None):
         res = clear_mot(gt_seq, hyp_seq, iou_threshold=args.iou_threshold)
         per_agent.setdefault(slot, []).append(res)
 
-    header = f"{'agent':>6} | {'MOTA':>8} | {'MOTP':>8} | {'miss':>6} | {'fp':>6} | {'idsw':>5} | {'#gt':>6}"
+    header = (f"{'agent':>6} | {'MOTA':>8} | {'MOTP':>8} | {'miss':>6} | {'fp':>6} | "
+              f"{'idsw':>5} | {'MT':>4} | {'PT':>4} | {'ML':>4} | {'frag':>5} | {'#gt':>6}")
     print(header)
     print("-" * len(header))
     agg = defaultdict(float)
     n_seq = 0
+    sum_keys = ("misses", "false_positives", "id_switches", "num_gt", "matches",
+                "MT", "PT", "ML", "FRAG", "num_trajectories")
+
+    def row(label, tot):
+        mota = 1.0 - (tot["misses"] + tot["false_positives"] + tot["id_switches"]) / max(tot["num_gt"], 1)
+        motp = tot["iou_sum"] / max(tot["matches"], 1)
+        print(f"{label:>6} | {mota:8.4f} | {motp:8.4f} | {int(tot['misses']):>6} | "
+              f"{int(tot['false_positives']):>6} | {int(tot['id_switches']):>5} | "
+              f"{int(tot['MT']):>4} | {int(tot['PT']):>4} | {int(tot['ML']):>4} | "
+              f"{int(tot['FRAG']):>5} | {int(tot['num_gt']):>6}")
+        return mota, motp
+
     for slot in sorted(per_agent):
         seqs = per_agent[slot]
         tot = defaultdict(float)
         for r in seqs:
-            for k in ("misses", "false_positives", "id_switches", "num_gt", "matches"):
+            for k in sum_keys:
                 tot[k] += r[k]
             tot["iou_sum"] += r["MOTP"] * r["matches"]
-        mota = 1.0 - (tot["misses"] + tot["false_positives"] + tot["id_switches"]) / max(tot["num_gt"], 1)
-        motp = tot["iou_sum"] / max(tot["matches"], 1)
-        print(f"{slot:>6} | {mota:8.4f} | {motp:8.4f} | {int(tot['misses']):>6} | "
-              f"{int(tot['false_positives']):>6} | {int(tot['id_switches']):>5} | {int(tot['num_gt']):>6}")
+        row(str(slot), tot)
         for k, v in tot.items():
             agg[k] += v
         n_seq += len(seqs)
-    mota = 1.0 - (agg["misses"] + agg["false_positives"] + agg["id_switches"]) / max(agg["num_gt"], 1)
-    motp = agg["iou_sum"] / max(agg["matches"], 1)
     print("-" * len(header))
-    print(f"{'avg':>6} | {mota:8.4f} | {motp:8.4f} | {int(agg['misses']):>6} | "
-          f"{int(agg['false_positives']):>6} | {int(agg['id_switches']):>5} | {int(agg['num_gt']):>6}")
+    mota, motp = row("avg", agg)
     return {"MOTA": mota, "MOTP": motp}
 
 
