@@ -18,7 +18,8 @@ Usage: python tools/bench_cand.py   (BENCH_BATCH=16 default)
 
 MEASURED (v5e, 2026-08-19, 96 frames): dense_cand 9.0 / packed_cand 44.2 ms;
 the q_* prefix probes attribute the packed path's cost: q_cellmax 8.7 ms —
-the ``jnp.roll`` lane rotation of the full bf16 packed tensor is itself ~3x
+the rolled-formulation cell-max pass (f32 upcast + ``jnp.roll`` + subtract/
+lane-mask/minor-dim max; no probe isolates the roll alone) is ~3x
 the dense path's whole score-materialization pass (p_cellmax 3.1 ms: sigmoid
 scores + minor-dim max fuse into one read of ``raw``); the winner-row gather
 adds only ~1 ms (q_rowgather - q_l1topk), and the remaining ~33 ms sits in
