@@ -116,6 +116,98 @@ def test_spatial_axis_sharding_trains():
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=5e-3)
 
 
+def _assert_detections_equivalent(
+    b1, s1, k1, b2, s2, k2, score_atol=2e-3, box_atol=5e-2, tie_frac=0.15
+):
+    """Sharded-vs-single predict equivalence, robust to score tie swaps.
+
+    XLA specializes conv codegen per partitioning (f32-LSB differences, same
+    caveat as the batch-shape comparison in test_cli_integration.py), and a
+    random-init model's scores are dense with near-ties, so tied ranks can
+    legitimately keep *different* candidate boxes under different shardings.
+    The invariants that must hold regardless:
+      * identical detection count per (scene, agent) — a count flip would be
+        real numeric divergence (mask leak / wrong collective), not tie noise;
+      * the score spectra match (sorted scores equal within score_atol);
+      * the large majority of kept boxes match positionally (nearest-neighbor
+        within box_atol); only a small tie-swap fraction may differ.
+    """
+    b1, s1, k1 = np.asarray(b1), np.asarray(s1), np.asarray(k1)
+    b2, s2, k2 = np.asarray(b2), np.asarray(s2), np.asarray(k2)
+    np.testing.assert_array_equal(k1.sum(axis=-1), k2.sum(axis=-1))
+    total = unmatched = 0
+    for bi in range(k1.shape[0]):
+        for ai in range(k1.shape[1]):
+            x1, x2 = b1[bi, ai][k1[bi, ai]], b2[bi, ai][k2[bi, ai]]
+            sc1, sc2 = s1[bi, ai][k1[bi, ai]], s2[bi, ai][k2[bi, ai]]
+            np.testing.assert_allclose(
+                np.sort(sc1), np.sort(sc2), atol=score_atol,
+                err_msg=f"score spectrum diverged at scene {bi} agent {ai}",
+            )
+            if len(x1) == 0:
+                continue
+            # nearest-neighbor box match (max-abs over the 5 box params)
+            d = np.abs(x1[:, None, :] - x2[None, :, :]).max(-1)  # (n1, n2)
+            unmatched += int((d.min(axis=1) > box_atol).sum())
+            total += len(x1)
+    assert total > 0, "degenerate test: no detections kept"
+    assert unmatched <= tie_frac * total, (
+        f"{unmatched}/{total} kept boxes have no positional match — beyond "
+        f"the tie-swap allowance ({tie_frac:.0%}); sharded predict diverged"
+    )
+
+
+def test_sharded_predict_matches_single_device():
+    """Eval-path sharding (VERDICT r1 #7): predict_step (NMS path) under a
+    data mesh must reproduce the single-device detections (up to score tie
+    swaps — see _assert_detections_equivalent)."""
+    from disconet_tpu.training import make_predict_step
+
+    B, A = 2, 3
+    batch = _batch(B, A, seed=3)
+    model = build_model("disco", CFG)
+    state1 = create_train_state(model, CFG, jax.random.PRNGKey(0), batch)
+    predict = make_predict_step(model, CFG)
+    b1, s1, k1 = predict(state1, batch_to_device(batch))
+
+    mesh = make_mesh(n_data=2)
+    state2 = create_train_state(model, CFG, jax.random.PRNGKey(0), batch)
+    state2 = state2.replace(
+        params=replicate_tree(state2.params, mesh),
+        batch_stats=replicate_tree(state2.batch_stats, mesh),
+        opt_state=replicate_tree(state2.opt_state, mesh),
+    )
+    dev = shard_batch(batch, mesh)
+    b2, s2, k2 = predict(state2, dev)
+    _assert_detections_equivalent(b1, s1, k1, b2, s2, k2)
+
+
+def test_sharded_predict_agent_axis_runs():
+    """predict_step under the 2-D (data, agent) mesh: fusion's neighbor gather
+    lowers to an all_gather over 'agent' inside the eval graph. The all-gather
+    reorders reductions, so equivalence is up to score tie swaps."""
+    from disconet_tpu.training import make_predict_step
+
+    B, A = 2, 4
+    batch = _batch(B, A, seed=4)
+    model = build_model("disco", CFG)
+    state1 = create_train_state(model, CFG, jax.random.PRNGKey(0), batch)
+    predict = make_predict_step(model, CFG)
+    b1, s1, k1 = predict(state1, batch_to_device(batch))
+
+    mesh = make_mesh(n_data=2, n_agent=2)
+    state2 = create_train_state(model, CFG, jax.random.PRNGKey(0), batch)
+    state2 = state2.replace(
+        params=replicate_tree(state2.params, mesh),
+        batch_stats=replicate_tree(state2.batch_stats, mesh),
+        opt_state=replicate_tree(state2.opt_state, mesh),
+    )
+    dev = shard_batch(batch, mesh)
+    assert dev["bev"].sharding.spec[:2] == ("data", "agent")
+    b2, s2, k2 = predict(state2, dev)
+    _assert_detections_equivalent(b1, s1, k1, b2, s2, k2)
+
+
 class TestSpatialSharding:
     """Halo-exchange spatial sharding (parallel/spatial.py, SURVEY.md §5.7)."""
 
