@@ -177,6 +177,9 @@ class V2XSimDet:
             "trans": trans,
             "agent_mask": agent_mask,
             "num_agent": np.int32(agent_mask.sum()),
+            # dataset position: the key into epoch-invariant per-frame device
+            # caches (frozen-teacher KD features, training/det_module.py)
+            "frame_idx": np.int32(i),
             "scene_frame": np.asarray(self.keys[i], np.int32),
             "gt_boxes": gt_boxes,
         }

@@ -154,13 +154,29 @@ def make_train_step(
     config: Config,
     teacher=None,
     kd_flag: bool = False,
+    kd_from_cache: bool = False,
 ) -> Callable:
     """Build the jitted training step. ``teacher`` is a TeacherNet whose frozen
-    variables are passed per-call (never optimized; README.md:59)."""
+    variables are passed per-call (never optimized; README.md:59).
+
+    With ``kd_from_cache=True`` the third step argument is instead the tuple of
+    HBM-resident per-frame teacher feature tables from
+    :func:`precompute_teacher_feats`, and the step gathers the batch's rows by
+    ``batch["frame_idx"]`` instead of re-running the frozen teacher — the
+    teacher's features are epoch-invariant, so the reference's per-step teacher
+    forward (inherited from its on-GPU teacher) is pure recompute waste here.
+    """
 
     def train_step(state: DetTrainState, batch, teacher_vars=None):
         teacher_out = None
-        if kd_flag and teacher is not None:
+        if kd_flag and kd_from_cache:
+            idx = batch["frame_idx"].astype(jnp.int32)
+            teacher_out = {
+                "kd_feats": [
+                    jnp.take(f, idx, axis=0).astype(jnp.float32) for f in teacher_vars
+                ]
+            }
+        elif kd_flag and teacher is not None:
             teacher_out = teacher.apply(
                 teacher_vars,
                 get_bev(batch, "bev_teacher", config),
@@ -190,6 +206,81 @@ def make_train_step(
         return state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,))
+
+
+def teacher_feat_bytes(
+    teacher, teacher_vars, config: Config, n_frames: int, dtype=jnp.bfloat16
+) -> int:
+    """Size of the full-dataset KD feature cache (abstract eval, no FLOPs)."""
+    H, W = config.map_dims
+    MA, Z = config.max_agents, config.grid_size[2]
+    bev = jax.ShapeDtypeStruct((1, MA, H, W, Z), jnp.float32)
+    mask = jax.ShapeDtypeStruct((1, MA), jnp.bool_)
+    out = jax.eval_shape(
+        lambda v, b, m: teacher.apply(v, b, None, m, train=False),
+        teacher_vars, bev, mask,
+    )
+    per_frame = sum(int(np.prod(f.shape[1:])) for f in out["kd_feats"])
+    return per_frame * n_frames * jnp.dtype(dtype).itemsize
+
+
+def precompute_teacher_feats(
+    teacher,
+    teacher_vars,
+    dataset,
+    config: Config,
+    batch_size: int = 4,
+    dtype=jnp.bfloat16,
+    num_workers: int = 2,
+    mesh=None,
+):
+    """One frozen-teacher pass over the dataset -> HBM-resident KD tables.
+
+    Returns a tuple of device arrays ``[(N, A, h, w, c), ...]`` (one per KD
+    tap, rows addressed by ``batch["frame_idx"]``) for
+    ``make_train_step(kd_from_cache=True)``. Teacher features never change
+    across epochs (frozen params, eval-mode BN), so this converts the KD
+    training tax from a per-step teacher forward + per-step ``bev_teacher``
+    transfer into a one-time pass + an on-device row gather. Storage defaults
+    to bf16 (the KD MSE target tolerates the ~0.4%% rounding; pass
+    ``jnp.float32`` for bit-parity with recompute). Size it first with
+    :func:`teacher_feat_bytes` — the tables live in HBM for the whole run.
+
+    With ``mesh`` given (multi-device training), the tables are replicated so
+    the per-shard gathers stay local.
+    """
+    from disconet_tpu.data.dataset import BatchIterator, pad_batch_to
+
+    @jax.jit
+    def fwd(tv, bev_teacher, agent_mask):
+        out = teacher.apply(tv, bev_teacher, None, agent_mask, train=False)
+        return [f.astype(dtype) for f in out["kd_feats"]]
+
+    n = len(dataset)
+    loader = BatchIterator(
+        dataset, batch_size, shuffle=False, drop_last=False, num_workers=num_workers
+    )
+    chunks, order = [], []
+    for batch in loader:
+        order.extend(np.asarray(batch["frame_idx"]).tolist())
+        batch = pad_batch_to(batch, batch_size, config.max_agents)
+        dev = batch_to_device(
+            {k: batch[k] for k in ("bev_teacher", "bev_teacher_packed", "agent_mask")
+             if k in batch}
+        )
+        chunks.append(fwd(teacher_vars, get_bev(dev, "bev_teacher", config),
+                          dev["agent_mask"]))
+    assert order == list(range(n)), "shuffle=False iteration must be dataset order"
+    # per-tap device concat, then drop the tail batch's padding rows
+    feats = tuple(
+        jnp.concatenate([c[i] for c in chunks], axis=0)[:n]
+        for i in range(len(chunks[0]))
+    )
+    if mesh is not None and mesh.devices.size > 1:
+        from disconet_tpu.parallel.mesh import replicated
+
+        feats = tuple(jax.device_put(f, replicated(mesh)) for f in feats)
+    return feats
 
 
 def make_eval_step(model, config: Config, teacher=None, kd_flag: bool = False) -> Callable:
@@ -327,6 +418,7 @@ _DEVICE_KEYS = (
     "seg_label",
     "trans",
     "agent_mask",
+    "frame_idx",
 )
 # dense target tensors are redundant (and ~250 MB/batch over the device
 # tunnel) when the sparse encoding is present

@@ -156,6 +156,80 @@ def test_kd_train_step():
         np.testing.assert_array_equal(a, np.asarray(b))
 
 
+def test_kd_cache_matches_recompute():
+    """kd_from_cache (VERDICT r1 #3): the HBM table of precomputed frozen-
+    teacher features, gathered per step by frame_idx, must reproduce the
+    per-step teacher forward — same kd_loss/loss at f32 cache dtype, and the
+    byte estimator must match the realized table size."""
+    from disconet_tpu.training.det_module import (
+        precompute_teacher_feats,
+        teacher_feat_bytes,
+    )
+
+    N = 3
+    rng = np.random.default_rng(7)
+    H, W = CFG.map_dims
+    Z = CFG.grid_size[2]
+
+    class _FakeDS:
+        """Minimal dataset: N frames with the keys precompute touches."""
+
+        def __init__(self):
+            self.items = [
+                {
+                    "bev_teacher": (rng.random((A, H, W, Z)) < 0.04).astype(np.float32),
+                    "agent_mask": np.ones((A,), bool),
+                    "frame_idx": np.int32(i),
+                }
+                for i in range(N)
+            ]
+
+        def __len__(self):
+            return N
+
+        def __getitem__(self, i):
+            return self.items[i]
+
+    ds = _FakeDS()
+    teacher = TeacherNet(config=CFG)
+    tv = teacher.init(
+        jax.random.PRNGKey(1), jnp.asarray(ds[0]["bev_teacher"][None]), None,
+        jnp.asarray(ds[0]["agent_mask"][None]), train=False,
+    )
+    feats = precompute_teacher_feats(
+        teacher, tv, ds, CFG, batch_size=2, dtype=jnp.float32, num_workers=1
+    )
+    assert all(int(f.shape[0]) == N for f in feats)
+
+    # the (bf16-default) byte estimator matches the realized f32 table at 2x.
+    # It sizes for config.max_agents (what real V2XSimDet items are padded
+    # to); the fake items here carry A agents, so estimate at max_agents=A.
+    from disconet_tpu.config import tiny_config
+
+    est = teacher_feat_bytes(teacher, tv, tiny_config(32, max_agents=A), N)
+    real = sum(f.size * 4 for f in feats)
+    assert est * 2 == real, (est, real)
+
+    # batch frames [2, 0] — out of dataset order, so the gather is exercised
+    batch = _batch()
+    batch["bev_teacher"] = np.stack([ds[2]["bev_teacher"], ds[0]["bev_teacher"]])
+    batch["frame_idx"] = np.array([2, 0], np.int32)
+
+    model = build_model("disco", CFG, kd_flag=True)
+    step_re = make_train_step(model, CFG, teacher=teacher, kd_flag=True)
+    step_ca = make_train_step(model, CFG, kd_flag=True, kd_from_cache=True)
+    dev = batch_to_device(batch)
+    assert "frame_idx" in dev
+    s1 = create_train_state(model, CFG, jax.random.PRNGKey(0), batch)
+    s2 = create_train_state(model, CFG, jax.random.PRNGKey(0), batch)
+    _, m_re = step_re(s1, dev, tv)
+    _, m_ca = step_ca(s2, dev, feats)
+    np.testing.assert_allclose(
+        float(m_ca["kd_loss"]), float(m_re["kd_loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(float(m_ca["loss"]), float(m_re["loss"]), rtol=1e-5)
+
+
 def test_eval_and_predict_steps():
     batch = _batch()
     model = build_model("disco", CFG)

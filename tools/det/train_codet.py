@@ -77,6 +77,12 @@ def parse_args(argv=None):
     p.add_argument("--ckpt_keep", type=int, default=5,
                    help="orbax checkpoints retained (0 = keep all; epoch_N.pth exports are never pruned)")
     p.add_argument("--cache_items", type=int, default=256, help="in-memory dataset item cache")
+    p.add_argument("--kd_cache", type=int, default=1,
+                   help="precompute frozen-teacher KD features once into HBM and gather "
+                        "per step (1) vs re-forward the teacher every step (0); "
+                        "auto-disables if the table exceeds --kd_cache_gb")
+    p.add_argument("--kd_cache_gb", type=float, default=4.0,
+                   help="HBM budget for the KD feature cache (bf16 tables)")
     p.add_argument("--mesh_agent", type=int, default=1,
                    help="mesh axis size sharding the agent dim (fusion gather -> ICI all_gather)")
     p.add_argument("--mesh_spatial", type=int, default=1,
@@ -190,7 +196,31 @@ def main(argv=None):
             teacher_vars = replicate_tree(teacher_vars, mesh)
         print(f"mesh: {dict(mesh.shape)} over {mesh.devices.size} devices")
 
-    train_step = make_train_step(model, cfg, teacher=teacher, kd_flag=bool(args.kd_flag))
+    kd_from_cache = False
+    if args.kd_flag and args.kd_cache:
+        from disconet_tpu.training.det_module import (
+            precompute_teacher_feats,
+            teacher_feat_bytes,
+        )
+
+        nbytes = teacher_feat_bytes(teacher, teacher_vars, cfg, len(dataset))
+        if nbytes <= args.kd_cache_gb * 2**30:
+            t0 = time.time()
+            teacher_vars = precompute_teacher_feats(
+                teacher, teacher_vars, dataset, cfg, batch_size=args.batch,
+                num_workers=args.nworker, mesh=mesh if multi else None,
+            )
+            kd_from_cache = True
+            print(f"KD cache: {nbytes / 2**20:.0f} MiB of teacher features "
+                  f"precomputed in {time.time() - t0:.1f}s — the per-step "
+                  f"teacher forward and bev_teacher transfer are gone")
+        else:
+            print(f"KD cache disabled: table would be {nbytes / 2**30:.2f} GiB "
+                  f"> --kd_cache_gb {args.kd_cache_gb}; re-forwarding per step")
+
+    train_step = make_train_step(model, cfg, teacher=teacher,
+                                 kd_flag=bool(args.kd_flag),
+                                 kd_from_cache=kd_from_cache)
 
     import functools
 
@@ -198,7 +228,7 @@ def main(argv=None):
 
     def host_batches():
         for batch in loader:
-            if not args.kd_flag:  # skip the dead host->device copy
+            if not args.kd_flag or kd_from_cache:  # skip the dead host->device copy
                 batch.pop("bev_teacher", None)
                 batch.pop("bev_teacher_packed", None)
             yield batch
