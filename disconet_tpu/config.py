@@ -176,6 +176,14 @@ class Config:
     # Segmentation (SURVEY.md C3): ~8 BEV semantic classes.
     num_seg_classes: int = 8
 
+    # Seg backbone (SURVEY.md C19): "unet" = the reference seg zoo's classic
+    # UNet topology (models/unet.py: DoubleConv + maxpool downs 64..512,
+    # upsample-concat-DoubleConv ups); "stpn" = reuse the det STPN pyramid
+    # with a 1x1 SegHead. A/B'd on the synthetic benchmark (BASELINE.md);
+    # det models ignore this.
+    seg_backbone: str = "unet"
+    unet_channels: Tuple[int, ...] = (64, 128, 256, 512, 512)
+
     # ---- derived geometry ----
     @property
     def grid_size(self) -> Tuple[int, int, int]:

@@ -120,9 +120,17 @@ class IntermediateFusionModel(nn.Module):
     task: str = "det"  # 'det' (cls+reg heads) or 'seg' (per-cell classes, C19)
 
     def setup(self):
+        from disconet_tpu.models.unet import make_unet, use_unet
+
         # fusion at layer 0 would have to address the fused map spatially, so
-        # the block-space stage-0 rewrite is disabled there (backbone.py)
-        self.stpn = make_stpn(self.config, allow_block=self.layer != 0)
+        # the block-space stage-0 rewrite is disabled there (backbone.py).
+        # Seg models dispatch on config.seg_backbone (SURVEY.md C19): the
+        # attribute keeps the name 'stpn' so the fusion/decode plumbing and
+        # checkpoint scope are backbone-independent.
+        if use_unet(self.config, self.task):
+            self.stpn = make_unet(self.config)
+        else:
+            self.stpn = make_stpn(self.config, allow_block=self.layer != 0)
         if self.task == "det":
             self.heads = make_heads(self.config)
         else:
@@ -136,8 +144,14 @@ class IntermediateFusionModel(nn.Module):
     def layer_channels(self) -> int:
         """Channel width of the features fused at THIS model's ``layer`` —
         unlike ``config.fusion_channels`` (keyed to ``config.fusion_layer``),
-        this stays correct when ``build_model(..., layer=k)`` overrides it."""
-        ch = self.config.backbone_channels
+        this stays correct when ``build_model(..., layer=k)`` overrides it,
+        and tracks the active backbone (UNet widths for seg, SURVEY.md C19)."""
+        from disconet_tpu.models.unet import use_unet
+
+        if use_unet(self.config, self.task):
+            ch = tuple(getattr(self.config, "unet_channels", (64, 128, 256, 512, 512)))
+        else:
+            ch = self.config.backbone_channels
         return ch[min(self.layer, len(ch) - 1)]
 
     def fuse(

@@ -20,10 +20,12 @@ from disconet_tpu.models.base import agents_to_batch, batch_to_agents
 
 
 class FaFNet(nn.Module):
-    """Single-agent model: STPN + task heads, agents folded into batch.
+    """Single-agent model: backbone + task heads, agents folded into batch.
 
     ``task='seg'`` makes this the reference's single-agent UNet segmenter
-    (SURVEY.md C19) — the STPN decoder is already a UNet-style skip pyramid.
+    (SURVEY.md C19): ``config.seg_backbone`` selects the faithful UNet
+    topology (models/unet.py, the default) or the det STPN pyramid with a
+    1x1 SegHead (both A/B-measured in BASELINE.md).
     """
 
     config: Config
@@ -31,7 +33,15 @@ class FaFNet(nn.Module):
     task: str = "det"
 
     def setup(self):
-        self.stpn = make_stpn(self.config)
+        from disconet_tpu.models.unet import make_unet, use_unet
+
+        # seg dispatches on config.seg_backbone (SURVEY.md C19: the reference's
+        # single-agent seg model IS a UNet); attribute name stays 'stpn' so
+        # checkpoint scope and decode plumbing are backbone-independent
+        if use_unet(self.config, self.task):
+            self.stpn = make_unet(self.config)
+        else:
+            self.stpn = make_stpn(self.config)
         if self.task == "det":
             self.heads = make_heads(self.config)
         else:

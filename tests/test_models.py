@@ -201,13 +201,42 @@ def test_head_in_dtype_bf16_det_outputs_identical():
     )
 
 
-@pytest.mark.parametrize("com", ["", "disco"])
-def test_seg_task(com):
+@pytest.mark.parametrize(
+    "com,backbone",
+    [("", "unet"), ("", "stpn"), ("disco", "unet"), ("disco", "stpn"),
+     ("v2v", "unet"), ("mean", "unet")],
+)
+def test_seg_task(com, backbone):
+    """Both seg backbones (SURVEY.md C19): the reference-topology UNet
+    (config.seg_backbone default) and the det STPN + SegHead."""
+    cfg = tiny_config(32, seg_backbone=backbone)
     bev, trans, mask = _inputs()
-    model = build_model(com, CFG, task="seg")
+    model = build_model(com, cfg, task="seg")
     variables = model.init(jax.random.PRNGKey(0), bev, trans, mask, train=False)
     out = model.apply(variables, bev, trans, mask, train=False)
-    assert out["seg"].shape == (B, A, H, W, CFG.num_seg_classes)
+    assert out["seg"].shape == (B, A, H, W, cfg.num_seg_classes)
+    assert np.all(np.isfinite(np.asarray(out["seg"], np.float32)))
+
+
+def test_unet_structure():
+    """UNet stage contract (models/unet.py): encoder features at strides
+    1,2,4,8,16 with the classic 64-128-256-512-512 widths (scaled here), and
+    a stride-1 head input at channels[0] — the STPN-compatible interface the
+    fusion models consume."""
+    from disconet_tpu.models.unet import UNet
+
+    ch = (8, 16, 32, 64, 64)
+    net = UNet(channels=ch)
+    x = jnp.zeros((2, H, W, Z), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(0), x, method=UNet.encode)
+    feats = net.apply(variables, x, method=UNet.encode)
+    assert len(feats) == 5
+    for i, f in enumerate(feats):
+        assert f.shape == (2, H >> i, W >> i, ch[i]), (i, f.shape)
+    variables = net.init(jax.random.PRNGKey(0), x)
+    head_in, kd_feats = net.apply(variables, x)
+    assert head_in.shape == (2, H, W, ch[0])
+    assert len(kd_feats) == 4  # decoder outputs coarse->fine
 
 
 def test_teacher_loads_fafnet_params():

@@ -38,13 +38,17 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--rsu", type=int, default=1)
     p.add_argument("--layer", type=int, default=3)
+    p.add_argument("--seg_backbone", type=str, default="unet", choices=["unet", "stpn"],
+                   help="seg architecture (SURVEY.md C19): reference-topology UNet "
+                        "or the det STPN pyramid + 1x1 SegHead (A/B in BASELINE.md)")
     p.add_argument("--grid", type=int, default=256)
     p.add_argument("--visualization", type=int, default=0,
                    help="render pred-vs-gt seg panels for the first batch")
     p.add_argument("--logpath", type=str, default="logs", help="--visualization output dir")
     args = p.parse_args(argv)
 
-    cfg = Config(fusion_layer=args.layer) if args.grid == 256 else tiny_config(args.grid, fusion_layer=args.layer)
+    over = dict(fusion_layer=args.layer, seg_backbone=args.seg_backbone)
+    cfg = Config(**over) if args.grid == 256 else tiny_config(args.grid, **over)
     dataset = V2XSimSeg(args.data, cfg, rsu=bool(args.rsu), bound=args.bound)
     if len(dataset) == 0:
         raise SystemExit(f"no frames under {args.data}")

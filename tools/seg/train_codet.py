@@ -35,6 +35,9 @@ def parse_args(argv=None):
     p.add_argument("--nepoch", type=int, default=100)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--layer", type=int, default=3)
+    p.add_argument("--seg_backbone", type=str, default="unet", choices=["unet", "stpn"],
+                   help="seg architecture (SURVEY.md C19): reference-topology UNet "
+                        "or the det STPN pyramid + 1x1 SegHead (A/B in BASELINE.md)")
     p.add_argument("--rsu", type=int, default=1)
     p.add_argument("--resume", type=str, default="")
     p.add_argument("--auto_resume_path", type=str, default="")
@@ -51,7 +54,8 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
-    cfg = Config(fusion_layer=args.layer) if args.grid == 256 else tiny_config(args.grid, fusion_layer=args.layer)
+    over = dict(fusion_layer=args.layer, seg_backbone=args.seg_backbone)
+    cfg = Config(**over) if args.grid == 256 else tiny_config(args.grid, **over)
 
     dataset = V2XSimSeg(args.data, cfg, rsu=bool(args.rsu), bound=args.bound, cache_items=256)
     if len(dataset) == 0:
