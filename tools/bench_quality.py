@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Statistically meaningful quality benchmark (SURVEY.md §6 / BASELINE.md).
+
+Round-1's quality table rested on 18 val scene-frames and one seed — the
+inter-model gaps were within run-to-run noise (VERDICT r1 weak #1). This
+harness runs the full operating-point matrix (the five named points of
+arXiv:2111.00643 Table 1 + extras) x N seeds on a larger synthetic dataset,
+evaluating each trained model through the real CLIs (tools/det/train_codet.py
+-> tools/det/test_codet.py), and reports mean +/- std per point so every
+claimed ordering gap can be checked against its own noise floor.
+
+Results accumulate incrementally in --out (JSON); finished (config, seed)
+cells are skipped on re-run, so the matrix is resumable after interruption.
+
+Usage:
+    python tools/bench_quality.py --root /tmp/v2x_bench --seeds 0 1 2 \
+        --nepoch 100 --out /tmp/v2x_bench/results.json        # run matrix
+    python tools/bench_quality.py --out /tmp/v2x_bench/results.json --summarize
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# operating point -> extra train/test CLI flags. disco_kd's teacher is the
+# SAME seed's trained upperbound checkpoint (TeacherNet == FaFNet-upperbound
+# architecture with KD taps; reference README.md:59 --resume_teacher).
+CONFIGS = {
+    "lowerbound": ["--bound", "lowerbound"],
+    "upperbound": ["--bound", "upperbound"],
+    "when2com": ["--com", "when2com"],
+    "v2v": ["--com", "v2v"],
+    "disco": ["--com", "disco"],
+    "disco_kd": ["--com", "disco", "--kd_flag", "1"],
+    "mean": ["--com", "mean"],
+    "max": ["--com", "max"],
+}
+AVG_RE = re.compile(r"average \|\s+([\d.]+) \|\s+([\d.]+) \|\s+(\d+) \|\s+(\d+)")
+
+
+def sh(cmd, log_file):
+    with open(log_file, "a") as f:
+        f.write("\n$ " + " ".join(cmd) + "\n")
+        f.flush()
+        r = subprocess.run(cmd, stdout=f, stderr=subprocess.STDOUT, cwd=REPO)
+    if r.returncode != 0:
+        raise RuntimeError(f"command failed (see {log_file}): {' '.join(cmd)}")
+
+
+def gen_data(root, grid, train_scenes, val_scenes, frames):
+    os.makedirs(root, exist_ok=True)
+    for split, scenes in (("train", train_scenes), ("val", val_scenes)):
+        out = os.path.join(root, split)
+        if os.path.isdir(out) and os.listdir(out):
+            continue
+        sh([sys.executable, "tools/det/create_data_det.py", "--mode", "synthetic",
+            "--savepath", root, "--split", split, "--scenes", str(scenes),
+            "--frames", str(frames), "--grid", str(grid)],
+           os.path.join(root, "gen.log"))
+
+
+def run_cell(name, seed, args, results, out_path):
+    key = f"{name}/seed{seed}"
+    if key in results:
+        print(f"[skip] {key}: {results[key]}")
+        return
+    logpath = os.path.join(args.root, "logs", f"seed{seed}")
+    os.makedirs(logpath, exist_ok=True)
+    log_file = os.path.join(logpath, f"{name}.log")
+    extra = list(CONFIGS[name])
+    if name == "disco_kd":
+        teacher = os.path.join(logpath, "upperbound", f"epoch_{args.nepoch}.pth")
+        if not os.path.exists(teacher):
+            raise RuntimeError(f"{key}: teacher checkpoint missing ({teacher}); "
+                               "upperbound must run first for this seed")
+        extra += ["--resume_teacher", teacher]
+
+    t0 = time.time()
+    sh([sys.executable, "tools/det/train_codet.py",
+        "--data", os.path.join(args.root, "train"), *extra,
+        "--batch", str(args.batch), "--nepoch", str(args.nepoch),
+        "--grid", str(args.grid), "--seed", str(seed), "--logpath", logpath,
+        "--ckpt_keep", "1"], log_file)
+    # train CLI writes under (com or bound) + optional _kd == the config key
+    resume = os.path.join(logpath, name, f"epoch_{args.nepoch}.pth")
+
+    test_cmd = [sys.executable, "tools/det/test_codet.py",
+                "--data", os.path.join(args.root, "val"), *[
+                    f for f in CONFIGS[name] if f not in ("--kd_flag", "1")],
+                "--resume", resume, "--grid", str(args.grid),
+                "--logpath", logpath]
+    with open(log_file, "a") as f:
+        f.write("\n$ " + " ".join(test_cmd) + "\n")
+        f.flush()
+        r = subprocess.run(test_cmd, capture_output=True, text=True, cwd=REPO)
+        f.write(r.stdout + r.stderr)
+    if r.returncode != 0:
+        raise RuntimeError(f"test failed for {key} (see {log_file})")
+    m = AVG_RE.search(r.stdout)
+    if not m:
+        raise RuntimeError(f"no mAP table in test output for {key} (see {log_file})")
+    results[key] = {
+        "mAP@0.5": float(m.group(1)),
+        "mAP@0.7": float(m.group(2)),
+        "n_gt": int(m.group(3)),
+        "n_det": int(m.group(4)),
+        "train_s": round(time.time() - t0, 1),
+    }
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1, sort_keys=True)
+    print(f"[done] {key}: {results[key]}", flush=True)
+
+
+def summarize(results, configs, seeds):
+    import numpy as np
+
+    print(f"\n{'config':<12} {'mAP@0.5':>16} {'mAP@0.7':>16}  n")
+    rows = {}
+    for name in configs:
+        vals = [results[f"{name}/seed{s}"] for s in seeds
+                if f"{name}/seed{s}" in results]
+        if not vals:
+            continue
+        m5 = np.array([v["mAP@0.5"] for v in vals])
+        m7 = np.array([v["mAP@0.7"] for v in vals])
+        rows[name] = (m5, m7)
+        print(f"{name:<12} {m5.mean():.4f} +/- {m5.std():.4f} "
+              f"{m7.mean():.4f} +/- {m7.std():.4f}  {len(vals)}")
+    # the paper's ordering claims (SURVEY.md §6), checked against noise
+    print("\nordering checks (gap vs combined std, mAP@0.7):")
+    for hi, lo in [("upperbound", "lowerbound"), ("disco_kd", "disco"),
+                   ("disco", "lowerbound"), ("v2v", "when2com")]:
+        if hi in rows and lo in rows:
+            gap = rows[hi][1].mean() - rows[lo][1].mean()
+            noise = float(np.sqrt(rows[hi][1].std() ** 2 + rows[lo][1].std() ** 2))
+            verdict = "SIGNIFICANT" if abs(gap) > noise else "within noise"
+            print(f"  {hi} - {lo}: {gap:+.4f} (noise {noise:.4f}) -> {verdict}")
+    return rows
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--root", type=str, default="/tmp/v2x_bench")
+    p.add_argument("--out", type=str, default=None, help="results JSON "
+                   "(default {root}/results.json)")
+    p.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
+    p.add_argument("--configs", type=str, nargs="+", default=list(CONFIGS))
+    p.add_argument("--nepoch", type=int, default=100)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--grid", type=int, default=64)
+    p.add_argument("--train_scenes", type=int, default=24)
+    p.add_argument("--val_scenes", type=int, default=24)
+    p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--summarize", action="store_true", help="only print the table")
+    args = p.parse_args(argv)
+    out_path = args.out or os.path.join(args.root, "results.json")
+
+    results = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            results = json.load(f)
+    if args.summarize:
+        summarize(results, args.configs, args.seeds)
+        return
+
+    gen_data(args.root, args.grid, args.train_scenes, args.val_scenes, args.frames)
+    # upperbound first within each seed: disco_kd needs its checkpoint
+    order = sorted(args.configs, key=lambda c: (c != "upperbound"))
+    for seed in args.seeds:
+        for name in order:
+            run_cell(name, seed, args, results, out_path)
+    summarize(results, args.configs, args.seeds)
+
+
+if __name__ == "__main__":
+    main()

@@ -37,6 +37,10 @@ def main(argv=None):
     p.add_argument("--com", type=str, default="disco")
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--kd_flag", type=int, default=0)
+    p.add_argument("--kd_cache", type=int, default=0,
+                   help="with --kd_flag 1: precompute teacher features into HBM "
+                        "(train_codet.py --kd_cache path) instead of re-forwarding "
+                        "the teacher every step")
     p.add_argument("--grid", type=int, default=256)
     p.add_argument("--nworker", type=int, default=2)
     p.add_argument("--steps", type=int, default=10, help="timed steps per phase")
@@ -71,14 +75,26 @@ def main(argv=None):
             jax.random.PRNGKey(1), get_bev_np(sample, "bev_teacher", cfg), None,
             sample["agent_mask"], train=False,
         )
-    train_step = make_train_step(model, cfg, teacher=teacher, kd_flag=bool(args.kd_flag))
+    kd_cache = bool(args.kd_flag and args.kd_cache)
+    if kd_cache:
+        from disconet_tpu.training.det_module import precompute_teacher_feats
+
+        t0 = time.perf_counter()
+        teacher_vars = precompute_teacher_feats(
+            teacher, teacher_vars, dataset, cfg, batch_size=args.batch,
+            num_workers=args.nworker,
+        )
+        print(f"KD cache precomputed in {time.perf_counter() - t0:.1f}s", flush=True)
+    train_step = make_train_step(model, cfg, teacher=teacher,
+                                 kd_flag=bool(args.kd_flag), kd_from_cache=kd_cache)
 
     def host_batches(n):
         it, got = iter(loader), 0
         while got < n:
             for b in it:
-                if not args.kd_flag:
+                if not args.kd_flag or kd_cache:
                     b.pop("bev_teacher", None)
+                    b.pop("bev_teacher_packed", None)
                 yield b
                 got += 1
                 if got >= n:
@@ -86,7 +102,8 @@ def main(argv=None):
             it = iter(loader)
 
     n = args.steps
-    report = {"batch": args.batch, "com": args.com, "kd": args.kd_flag}
+    report = {"batch": args.batch, "com": args.com, "kd": args.kd_flag,
+              "kd_cache": int(kd_cache)}
 
     # warm the item cache + compile first so phases time steady state; the
     # host phase must see the same warm cache e2e does, so pre-walk the same
