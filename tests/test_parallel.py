@@ -208,6 +208,65 @@ def test_sharded_predict_agent_axis_runs():
     _assert_detections_equivalent(b1, s1, k1, b2, s2, k2)
 
 
+def test_sharded_kd_cache_matches_recompute():
+    """KD-from-cache under a data mesh: the replicated HBM teacher tables
+    (precompute_teacher_feats(mesh=...)) gathered by the data-sharded
+    frame_idx must reproduce the in-graph teacher forward's losses."""
+    from disconet_tpu.models import TeacherNet
+    from disconet_tpu.training.det_module import precompute_teacher_feats
+
+    B, A = 2, 2
+    batch = _batch(B, A, seed=5)
+    N = 2
+    H, W = CFG.map_dims
+    Z = CFG.grid_size[2]
+
+    class _FakeDS:
+        def __len__(self):
+            return N
+
+        def __getitem__(self, i):
+            return {
+                "bev_teacher": np.asarray(batch["bev_teacher"][i]),
+                "agent_mask": np.ones((A,), bool),
+                "frame_idx": np.int32(i),
+            }
+
+    teacher = TeacherNet(config=CFG)
+    tv = teacher.init(
+        jax.random.PRNGKey(1), batch["bev_teacher"][:1], None,
+        batch["agent_mask"][:1], train=False,
+    )
+    mesh = make_mesh(n_data=2)
+    feats = precompute_teacher_feats(
+        teacher, tv, _FakeDS(), CFG, batch_size=2, dtype=np.float32,
+        num_workers=1, mesh=mesh,
+    )
+    assert all(len(d.device_set) > 1 for f in feats for d in [f.sharding])
+
+    batch["frame_idx"] = np.arange(N, dtype=np.int32)
+    model = build_model("disco", CFG, kd_flag=True)
+    step_re = make_train_step(model, CFG, teacher=teacher, kd_flag=True)
+    step_ca = make_train_step(model, CFG, kd_flag=True, kd_from_cache=True)
+
+    def sharded_state():
+        s = create_train_state(model, CFG, jax.random.PRNGKey(0), batch)
+        return s.replace(
+            params=replicate_tree(s.params, mesh),
+            batch_stats=replicate_tree(s.batch_stats, mesh),
+            opt_state=replicate_tree(s.opt_state, mesh),
+        )
+
+    dev = shard_batch(batch, mesh)
+    assert dev["frame_idx"].sharding.spec[0] == "data"
+    _, m_re = step_re(sharded_state(), dev, replicate_tree(tv, mesh))
+    _, m_ca = step_ca(sharded_state(), dev, feats)
+    np.testing.assert_allclose(
+        float(m_ca["kd_loss"]), float(m_re["kd_loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(float(m_ca["loss"]), float(m_re["loss"]), rtol=1e-5)
+
+
 class TestSpatialSharding:
     """Halo-exchange spatial sharding (parallel/spatial.py, SURVEY.md §5.7)."""
 
