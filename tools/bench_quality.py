@@ -43,6 +43,17 @@ CONFIGS = {
     "mean": ["--com", "mean"],
     "max": ["--com", "max"],
 }
+# eval-only robustness rows (--extra_evals): reuse a trained base
+# checkpoint, re-evaluate with extra test flags — the paper's pose-noise
+# robustness study (and late fusion) with the same seeds/error bars.
+EXTRA_EVALS = {
+    "disco_kd+noise": ("disco_kd", ["--pose_noise_std", "0.4",
+                                    "--pose_noise_rot_std", "4"]),
+    "disco+noise": ("disco", ["--pose_noise_std", "0.4",
+                              "--pose_noise_rot_std", "4"]),
+    "disco_kd+latefuse": ("disco_kd", ["--apply_late_fusion", "1"]),
+}
+
 AVG_RE = re.compile(r"average \|\s+([\d.]+) \|\s+([\d.]+) \|\s+(\d+) \|\s+(\d+)")
 
 
@@ -91,32 +102,57 @@ def run_cell(name, seed, args, results, out_path):
         "--ckpt_keep", "1"], log_file)
     # train CLI writes under (com or bound) + optional _kd == the config key
     resume = os.path.join(logpath, name, f"epoch_{args.nepoch}.pth")
+    cell = run_eval(name, resume, [], args, logpath, log_file)
+    cell["train_s"] = round(time.time() - t0, 1)
+    results[key] = cell
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1, sort_keys=True)
+    print(f"[done] {key}: {results[key]}", flush=True)
 
+
+def run_eval(base, resume, test_extra, args, logpath, log_file):
+    """test_codet.py on a checkpoint -> parsed average mAP row."""
     test_cmd = [sys.executable, "tools/det/test_codet.py",
                 "--data", os.path.join(args.root, "val"), *[
-                    f for f in CONFIGS[name] if f not in ("--kd_flag", "1")],
+                    f for f in CONFIGS[base] if f not in ("--kd_flag", "1")],
                 "--resume", resume, "--grid", str(args.grid),
-                "--logpath", logpath]
+                "--logpath", logpath, *test_extra]
     with open(log_file, "a") as f:
         f.write("\n$ " + " ".join(test_cmd) + "\n")
         f.flush()
         r = subprocess.run(test_cmd, capture_output=True, text=True, cwd=REPO)
         f.write(r.stdout + r.stderr)
     if r.returncode != 0:
-        raise RuntimeError(f"test failed for {key} (see {log_file})")
+        raise RuntimeError(f"test failed (see {log_file})")
     m = AVG_RE.search(r.stdout)
     if not m:
-        raise RuntimeError(f"no mAP table in test output for {key} (see {log_file})")
-    results[key] = {
+        raise RuntimeError(f"no mAP table in test output (see {log_file})")
+    return {
         "mAP@0.5": float(m.group(1)),
         "mAP@0.7": float(m.group(2)),
         "n_gt": int(m.group(3)),
         "n_det": int(m.group(4)),
-        "train_s": round(time.time() - t0, 1),
     }
-    with open(out_path, "w") as f:
-        json.dump(results, f, indent=1, sort_keys=True)
-    print(f"[done] {key}: {results[key]}", flush=True)
+
+
+def run_extra_evals(args, results, out_path):
+    """Eval-only cells over the already-trained matrix checkpoints."""
+    for name, (base, flags) in EXTRA_EVALS.items():
+        for seed in args.seeds:
+            key = f"{name}/seed{seed}"
+            if key in results:
+                print(f"[skip] {key}")
+                continue
+            logpath = os.path.join(args.root, "logs", f"seed{seed}")
+            resume = os.path.join(logpath, base, f"epoch_{args.nepoch}.pth")
+            if not os.path.exists(resume):
+                print(f"[miss] {key}: no {resume}")
+                continue
+            results[key] = run_eval(base, resume, flags, args, logpath,
+                                    os.path.join(logpath, f"{name}.log"))
+            with open(out_path, "w") as f:
+                json.dump(results, f, indent=1, sort_keys=True)
+            print(f"[done] {key}: {results[key]}", flush=True)
 
 
 def summarize(results, configs, seeds):
@@ -160,6 +196,9 @@ def main(argv=None):
     p.add_argument("--val_scenes", type=int, default=24)
     p.add_argument("--frames", type=int, default=8)
     p.add_argument("--summarize", action="store_true", help="only print the table")
+    p.add_argument("--extra_evals", action="store_true",
+                   help="eval-only robustness rows (pose noise, late fusion) "
+                        "over the already-trained matrix checkpoints")
     args = p.parse_args(argv)
     out_path = args.out or os.path.join(args.root, "results.json")
 
@@ -168,7 +207,11 @@ def main(argv=None):
         with open(out_path) as f:
             results = json.load(f)
     if args.summarize:
-        summarize(results, args.configs, args.seeds)
+        summarize(results, list(args.configs) + list(EXTRA_EVALS), args.seeds)
+        return
+    if args.extra_evals:
+        run_extra_evals(args, results, out_path)
+        summarize(results, list(args.configs) + list(EXTRA_EVALS), args.seeds)
         return
 
     gen_data(args.root, args.grid, args.train_scenes, args.val_scenes, args.frames)
