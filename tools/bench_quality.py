@@ -99,7 +99,9 @@ def run_cell(name, seed, args, results, out_path):
         "--data", os.path.join(args.root, "train"), *extra,
         "--batch", str(args.batch), "--nepoch", str(args.nepoch),
         "--grid", str(args.grid), "--seed", str(seed), "--logpath", logpath,
-        "--ckpt_keep", "1"], log_file)
+        # final-epoch checkpoint only: per-epoch orbax+pth export measured
+        # ~8 s/epoch of host I/O — 77% of a matrix cell's wall time at 64-grid
+        "--ckpt_every", str(args.nepoch), "--ckpt_keep", "1"], log_file)
     # train CLI writes under (com or bound) + optional _kd == the config key
     resume = os.path.join(logpath, name, f"epoch_{args.nepoch}.pth")
     cell = run_eval(name, resume, [], args, logpath, log_file)
