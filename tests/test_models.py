@@ -25,7 +25,7 @@ def _inputs(rng_seed=0, agents_present=3):
     return jnp.asarray(bev), jnp.asarray(trans), jnp.asarray(mask)
 
 
-@pytest.mark.parametrize("com", ["", "disco", "sum", "mean", "max", "cat", "agent", "v2v", "when2com"])
+@pytest.mark.parametrize("com", ["", "disco", "sum", "mean", "max", "cat", "agent", "v2v", "when2com", "who2com"])
 def test_forward_shapes(com):
     bev, trans, mask = _inputs()
     model = build_model(com, CFG)
@@ -34,6 +34,20 @@ def test_forward_shapes(com):
     assert out["cls"].shape == (B, A, H, W, CFG.num_anchors, CFG.num_classes)
     assert out["reg"].shape == (B, A, H, W, CFG.num_anchors, CFG.box_code_size)
     assert np.all(np.isfinite(np.asarray(out["cls"], np.float32)))
+
+
+def test_who2com_hard_select_masks_absent():
+    """Who2com (SURVEY.md C17): at inference the argmax one-hot selection must
+    never pick an absent sender, and warp_flag=False uses unwarped ego values
+    (the reference's MIMO no-warp variant). Both run the same params."""
+    bev, trans, mask = _inputs(agents_present=2)
+    model = build_model("who2com", CFG, warp_flag=False)
+    variables = model.init(jax.random.PRNGKey(0), bev, trans, mask, train=False)
+    out = model.apply(variables, bev, trans, mask, train=False)
+    assert np.all(np.isfinite(np.asarray(out["cls"], np.float32)))
+    # absent receivers (padded slots) produce *some* output but are excluded
+    # downstream via agent_mask; the invariant here is finiteness + shape
+    assert out["cls"].shape[:2] == (B, A)
 
 
 @pytest.mark.parametrize("com", ["disco", "mean", "agent"])
