@@ -95,15 +95,16 @@ def run_cell(name, seed, args, results, out_path):
         extra += ["--resume_teacher", teacher]
 
     t0 = time.time()
-    sh([sys.executable, "tools/det/train_codet.py",
-        "--data", os.path.join(args.root, "train"), *extra,
-        "--batch", str(args.batch), "--nepoch", str(args.nepoch),
-        "--grid", str(args.grid), "--seed", str(seed), "--logpath", logpath,
-        # final-epoch checkpoint only: per-epoch orbax+pth export measured
-        # ~8 s/epoch of host I/O — 77% of a matrix cell's wall time at 64-grid
-        "--ckpt_every", str(args.nepoch), "--ckpt_keep", "1"], log_file)
     # train CLI writes under (com or bound) + optional _kd == the config key
     resume = os.path.join(logpath, name, f"epoch_{args.nepoch}.pth")
+    if not os.path.exists(resume):  # mid-cell resume: train only if needed
+        sh([sys.executable, "tools/det/train_codet.py",
+            "--data", os.path.join(args.root, "train"), *extra,
+            "--batch", str(args.batch), "--nepoch", str(args.nepoch),
+            "--grid", str(args.grid), "--seed", str(seed), "--logpath", logpath,
+            # final-epoch checkpoint only: per-epoch orbax+pth export measured
+            # ~8 s/epoch of host I/O — 77% of a cell's wall time at 64-grid
+            "--ckpt_every", str(args.nepoch), "--ckpt_keep", "1"], log_file)
     cell = run_eval(name, resume, [], args, logpath, log_file)
     cell["train_s"] = round(time.time() - t0, 1)
     results[key] = cell
@@ -114,10 +115,13 @@ def run_cell(name, seed, args, results, out_path):
 
 def run_eval(base, resume, test_extra, args, logpath, log_file):
     """test_codet.py on a checkpoint -> parsed average mAP row."""
+    # --batch 4: at batch 1 each val frame pays its own tunnel round trips
+    # (~7 min for 192 frames vs ~2); mAP accumulation is per-frame so batching
+    # only moves f32 LSBs (the batch-shape caveat of test_cli_integration.py)
     test_cmd = [sys.executable, "tools/det/test_codet.py",
                 "--data", os.path.join(args.root, "val"), *[
                     f for f in CONFIGS[base] if f not in ("--kd_flag", "1")],
-                "--resume", resume, "--grid", str(args.grid),
+                "--resume", resume, "--grid", str(args.grid), "--batch", "4",
                 "--logpath", logpath, *test_extra]
     with open(log_file, "a") as f:
         f.write("\n$ " + " ".join(test_cmd) + "\n")
