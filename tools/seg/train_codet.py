@@ -47,6 +47,7 @@ def parse_args(argv=None):
     p.add_argument("--grid", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--ckpt_every", type=int, default=1, help="save checkpoints every N epochs")
     p.add_argument("--ckpt_keep", type=int, default=5,
                    help="orbax checkpoints retained (0 = keep all)")
     return p.parse_args(argv)
@@ -97,7 +98,8 @@ def main(argv=None):
         logger.write(step, {**{k: float(v) for k, v in metrics.items()},
                             "scenes_per_sec": len(loader) * args.batch / (time.time() - t0)},
                      prefix=f"epoch {epoch} done")
-        ckpt_io.save(epoch, jax.device_get(state))
+        if epoch % args.ckpt_every == 0 or epoch == args.nepoch:
+            ckpt_io.save(epoch, jax.device_get(state))
     logger.close()
     print(f"seg training complete, checkpoints in {logdir}")
 
