@@ -203,8 +203,14 @@ class NuscenesDataset:
                     if not is_det_category(ann["category_name"], self.categories):
                         continue
                     yaw = _yaw_from_quat(ann["rotation"])
-                    w, l = ann["size"][0], ann["size"][1]
-                    boxes.append([*ann["translation"][:2], w, l, yaw])
+                    # nuScenes ann["size"] is [width, length, height] with
+                    # *length* along the heading; the framework box code puts
+                    # the along-heading extent in slot 2 (ops/boxes.py corners:
+                    # dx = +/- w/2 rotated by theta). slot2 <- length,
+                    # slot3 <- width — swapping these rotates every gt
+                    # footprint 90 degrees relative to the vehicle.
+                    along, across = ann["size"][1], ann["size"][0]
+                    boxes.append([*ann["translation"][:2], along, across, yaw])
                 yield s_idx, f_idx, {
                     "agents": agents,
                     "boxes_world": np.asarray(boxes, dtype=np.float32).reshape(-1, 5),
@@ -273,8 +279,9 @@ def _seg_label_from_points(
     ok = (ix >= 0) & (ix < H) & (iy >= 0) & (iy < W)
     counts = np.zeros((H, W, n_cls), dtype=np.int32)
     np.add.at(counts, (ix[ok], iy[ok], mapped[ok]), 1)
+    # argmax of an all-zero count row is already 0 == background, so empty
+    # cells need no special-casing.
     lab = counts.argmax(axis=-1).astype(np.int32)
-    lab[counts.sum(axis=-1) == 0] = 0
     return lab
 
 

@@ -219,9 +219,16 @@ def make_train_step(
 
 
 def teacher_feat_bytes(
-    teacher, teacher_vars, config: Config, n_frames: int, dtype=jnp.bfloat16
+    teacher, teacher_vars, config: Config, n_frames: int, dtype=jnp.bfloat16,
+    batch_size: int = 1,
 ) -> int:
-    """Size of the full-dataset KD feature cache (abstract eval, no FLOPs)."""
+    """Size of the full-dataset KD feature cache (abstract eval, no FLOPs).
+
+    ``batch_size``: the precompute batch size — tables are padded to a whole
+    number of batches (the tail padding rows are never gathered), so sizing
+    against ``--kd_cache_gb`` must count ceil(n/b)*b rows, not n.
+    """
+    n_frames = -(-n_frames // batch_size) * batch_size
     H, W = config.map_dims
     MA, Z = config.max_agents, config.grid_size[2]
     bev = jax.ShapeDtypeStruct((1, MA, H, W, Z), jnp.float32)
@@ -246,8 +253,9 @@ def precompute_teacher_feats(
 ):
     """One frozen-teacher pass over the dataset -> HBM-resident KD tables.
 
-    Returns a tuple of device arrays ``[(N, A, h, w, c), ...]`` (one per KD
-    tap, rows addressed by ``batch["frame_idx"]``) for
+    Returns a tuple of device arrays ``[(N_pad, A, h, w, c), ...]`` (one per
+    KD tap, rows addressed by ``batch["frame_idx"]``; N_pad = len(dataset)
+    rounded up to whole batches, the padding rows are never gathered) for
     ``make_train_step(kd_from_cache=True)``. Teacher features never change
     across epochs (frozen params, eval-mode BN), so this converts the KD
     training tax from a per-step teacher forward + per-step ``bev_teacher``
@@ -266,11 +274,21 @@ def precompute_teacher_feats(
         out = teacher.apply(tv, bev_teacher, None, agent_mask, train=False)
         return [f.astype(dtype) for f in out["kd_feats"]]
 
+    # Each batch's rows are written straight into pre-allocated tables with a
+    # donated dynamic_update_slice (an in-place row DMA). Holding every chunk
+    # and jnp.concatenate-ing at the end doubles peak HBM versus the
+    # --kd_cache_gb budget the cache was sized against: the full chunk set
+    # stays resident while the concat materializes the second copy.
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def write_rows(table, rows, start):
+        # start is traced (one compile for every offset, not one per batch)
+        return jax.lax.dynamic_update_slice_in_dim(table, rows, start, axis=0)
+
     n = len(dataset)
     loader = BatchIterator(
         dataset, batch_size, shuffle=False, drop_last=False, num_workers=num_workers
     )
-    chunks, order = [], []
+    tables, order, offset = None, [], 0
     for batch in loader:
         order.extend(np.asarray(batch["frame_idx"]).tolist())
         batch = pad_batch_to(batch, batch_size, config.max_agents)
@@ -278,14 +296,17 @@ def precompute_teacher_feats(
             {k: batch[k] for k in ("bev_teacher", "bev_teacher_packed", "agent_mask")
              if k in batch}
         )
-        chunks.append(fwd(teacher_vars, get_bev(dev, "bev_teacher", config),
-                          dev["agent_mask"]))
+        rows = fwd(teacher_vars, get_bev(dev, "bev_teacher", config),
+                   dev["agent_mask"])
+        if tables is None:
+            # padded to a whole number of batches; the tail padding rows are
+            # never gathered (frame_idx < n) — trimming to n would copy.
+            n_pad = -(-n // batch_size) * batch_size
+            tables = [jnp.zeros((n_pad, *r.shape[1:]), dtype) for r in rows]
+        tables = [write_rows(t, r, jnp.int32(offset)) for t, r in zip(tables, rows)]
+        offset += batch_size
     assert order == list(range(n)), "shuffle=False iteration must be dataset order"
-    # per-tap device concat, then drop the tail batch's padding rows
-    feats = tuple(
-        jnp.concatenate([c[i] for c in chunks], axis=0)[:n]
-        for i in range(len(chunks[0]))
-    )
+    feats = tuple(tables)
     if mesh is not None and mesh.devices.size > 1:
         from disconet_tpu.parallel.mesh import replicated
 

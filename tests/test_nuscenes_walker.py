@@ -89,7 +89,11 @@ def fake_devkit(tmp_path, monkeypatch):
             data[f"LIDAR_TOP_id_{a}"] = sd_tok
         tables["sample_annotation"][f"veh{f}"] = {
             "category_name": "vehicle.car", "rotation": _yaw_quat(VEH_WORLD["yaw"]),
-            "size": [VEH_WORLD["w"], VEH_WORLD["l"], 1.5],
+            # real nuScenes schema: size = [width, length, height] with
+            # *length* along the heading. VEH_WORLD["w"] is the framework's
+            # along-heading slot-2 extent, so it goes in size[1]; an
+            # asymmetric w != l here catches a walker that swaps them.
+            "size": [VEH_WORLD["l"], VEH_WORLD["w"], 1.5],
             "translation": [*VEH_WORLD["xy"], 0.0],
         }
         tables["sample_annotation"][f"ped{f}"] = {

@@ -199,14 +199,19 @@ def test_kd_cache_matches_recompute():
     feats = precompute_teacher_feats(
         teacher, tv, ds, CFG, batch_size=2, dtype=jnp.float32, num_workers=1
     )
-    assert all(int(f.shape[0]) == N for f in feats)
+    # tables are padded to whole precompute batches (in-place row writes into
+    # a pre-allocated table — no chunks+concat double copy); padding rows are
+    # never gathered because frame_idx < N.
+    n_pad = -(-N // 2) * 2
+    assert all(int(f.shape[0]) == n_pad for f in feats)
 
     # the (bf16-default) byte estimator matches the realized f32 table at 2x.
     # It sizes for config.max_agents (what real V2XSimDet items are padded
     # to); the fake items here carry A agents, so estimate at max_agents=A.
     from disconet_tpu.config import tiny_config
 
-    est = teacher_feat_bytes(teacher, tv, tiny_config(32, max_agents=A), N)
+    est = teacher_feat_bytes(teacher, tv, tiny_config(32, max_agents=A), N,
+                             batch_size=2)
     real = sum(f.size * 4 for f in feats)
     assert est * 2 == real, (est, real)
 

@@ -1,0 +1,73 @@
+"""Shared machinery for the resumable quality-benchmark harnesses.
+
+tools/bench_quality.py (det operating-point matrix) and tools/bench_seg_ab.py
+(seg backbone A/B) both run (config x seed) cells through the real CLIs and
+accumulate results in a JSON file so interrupted matrices resume. The logged
+subprocess runner, the results store, synthetic-data generation, and the
+gap-vs-noise significance check live here so a fix to one harness (e.g. the
+pose-noise unit bug) cannot silently miss the other.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def sh(cmd, log_file, capture: bool = False) -> str:
+    """Run ``cmd`` from the repo root, appending the command line and all
+    output to ``log_file``. Raises on a non-zero exit. With ``capture`` the
+    combined stdout+stderr is also returned (for table parsing)."""
+    with open(log_file, "a") as f:
+        f.write("\n$ " + " ".join(cmd) + "\n")
+        f.flush()
+        if capture:
+            r = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
+            f.write(r.stdout + r.stderr)
+        else:
+            r = subprocess.run(cmd, stdout=f, stderr=subprocess.STDOUT, cwd=REPO)
+    if r.returncode != 0:
+        raise RuntimeError(f"command failed (see {log_file}): {' '.join(cmd)}")
+    return (r.stdout or "") if capture else ""
+
+
+def gen_synthetic(create_cli: str, root: str, grid: int,
+                  split_scenes: dict, frames: int) -> None:
+    """Generate synthetic splits via a tools/*/create_data_*.py CLI (skipping
+    splits that already exist). ``split_scenes`` maps split name -> #scenes."""
+    os.makedirs(root, exist_ok=True)
+    for split, scenes in split_scenes.items():
+        out = os.path.join(root, split)
+        if os.path.isdir(out) and os.listdir(out):
+            continue
+        sh([sys.executable, create_cli, "--mode", "synthetic",
+            "--savepath", root, "--split", split, "--scenes", str(scenes),
+            "--frames", str(frames), "--grid", str(grid)],
+           os.path.join(root, "gen.log"))
+
+
+def load_results(out_path: str) -> dict:
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            return json.load(f)
+    return {}
+
+
+def save_results(results: dict, out_path: str) -> None:
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1, sort_keys=True)
+
+
+def gap_vs_noise(label: str, hi, lo) -> None:
+    """Print an ordering claim checked against its own noise floor: the gap
+    between two seed-arrays of a metric vs the combined per-point std."""
+    import numpy as np
+
+    gap = float(np.mean(hi) - np.mean(lo))
+    noise = float(np.sqrt(np.std(hi) ** 2 + np.std(lo) ** 2))
+    verdict = "SIGNIFICANT" if abs(gap) > noise else "within noise"
+    print(f"  {label}: {gap:+.4f} (noise {noise:.4f}) -> {verdict}")

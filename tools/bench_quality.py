@@ -21,14 +21,14 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import re
-import subprocess
 import sys
 import time
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _bench_harness import (  # noqa: E402
+    REPO, gap_vs_noise, gen_synthetic, load_results, save_results, sh)
 
 # operating point -> extra train/test CLI flags. disco_kd's teacher is the
 # SAME seed's trained upperbound checkpoint (TeacherNet == FaFNet-upperbound
@@ -46,36 +46,18 @@ CONFIGS = {
 # eval-only robustness rows (--extra_evals): reuse a trained base
 # checkpoint, re-evaluate with extra test flags — the paper's pose-noise
 # robustness study (and late fusion) with the same seeds/error bars.
+# --pose_noise_rot_std is in RADIANS (utils/pose_noise.py); the paper's
+# operating point is 0.4 m / 4 degrees = 4*pi/180 rad.
+_ROT_4DEG = f"{4 * 3.141592653589793 / 180:.6f}"
 EXTRA_EVALS = {
     "disco_kd+noise": ("disco_kd", ["--pose_noise_std", "0.4",
-                                    "--pose_noise_rot_std", "4"]),
+                                    "--pose_noise_rot_std", _ROT_4DEG]),
     "disco+noise": ("disco", ["--pose_noise_std", "0.4",
-                              "--pose_noise_rot_std", "4"]),
+                              "--pose_noise_rot_std", _ROT_4DEG]),
     "disco_kd+latefuse": ("disco_kd", ["--apply_late_fusion", "1"]),
 }
 
 AVG_RE = re.compile(r"average \|\s+([\d.]+) \|\s+([\d.]+) \|\s+(\d+) \|\s+(\d+)")
-
-
-def sh(cmd, log_file):
-    with open(log_file, "a") as f:
-        f.write("\n$ " + " ".join(cmd) + "\n")
-        f.flush()
-        r = subprocess.run(cmd, stdout=f, stderr=subprocess.STDOUT, cwd=REPO)
-    if r.returncode != 0:
-        raise RuntimeError(f"command failed (see {log_file}): {' '.join(cmd)}")
-
-
-def gen_data(root, grid, train_scenes, val_scenes, frames):
-    os.makedirs(root, exist_ok=True)
-    for split, scenes in (("train", train_scenes), ("val", val_scenes)):
-        out = os.path.join(root, split)
-        if os.path.isdir(out) and os.listdir(out):
-            continue
-        sh([sys.executable, "tools/det/create_data_det.py", "--mode", "synthetic",
-            "--savepath", root, "--split", split, "--scenes", str(scenes),
-            "--frames", str(frames), "--grid", str(grid)],
-           os.path.join(root, "gen.log"))
 
 
 def run_cell(name, seed, args, results, out_path):
@@ -108,8 +90,7 @@ def run_cell(name, seed, args, results, out_path):
     cell = run_eval(name, resume, [], args, logpath, log_file)
     cell["train_s"] = round(time.time() - t0, 1)
     results[key] = cell
-    with open(out_path, "w") as f:
-        json.dump(results, f, indent=1, sort_keys=True)
+    save_results(results, out_path)
     print(f"[done] {key}: {results[key]}", flush=True)
 
 
@@ -123,14 +104,8 @@ def run_eval(base, resume, test_extra, args, logpath, log_file):
                     f for f in CONFIGS[base] if f not in ("--kd_flag", "1")],
                 "--resume", resume, "--grid", str(args.grid), "--batch", "4",
                 "--logpath", logpath, *test_extra]
-    with open(log_file, "a") as f:
-        f.write("\n$ " + " ".join(test_cmd) + "\n")
-        f.flush()
-        r = subprocess.run(test_cmd, capture_output=True, text=True, cwd=REPO)
-        f.write(r.stdout + r.stderr)
-    if r.returncode != 0:
-        raise RuntimeError(f"test failed (see {log_file})")
-    m = AVG_RE.search(r.stdout)
+    stdout = sh(test_cmd, log_file, capture=True)
+    m = AVG_RE.search(stdout)
     if not m:
         raise RuntimeError(f"no mAP table in test output (see {log_file})")
     return {
@@ -156,8 +131,7 @@ def run_extra_evals(args, results, out_path):
                 continue
             results[key] = run_eval(base, resume, flags, args, logpath,
                                     os.path.join(logpath, f"{name}.log"))
-            with open(out_path, "w") as f:
-                json.dump(results, f, indent=1, sort_keys=True)
+            save_results(results, out_path)
             print(f"[done] {key}: {results[key]}", flush=True)
 
 
@@ -181,10 +155,7 @@ def summarize(results, configs, seeds):
     for hi, lo in [("upperbound", "lowerbound"), ("disco_kd", "disco"),
                    ("disco", "lowerbound"), ("v2v", "when2com")]:
         if hi in rows and lo in rows:
-            gap = rows[hi][1].mean() - rows[lo][1].mean()
-            noise = float(np.sqrt(rows[hi][1].std() ** 2 + rows[lo][1].std() ** 2))
-            verdict = "SIGNIFICANT" if abs(gap) > noise else "within noise"
-            print(f"  {hi} - {lo}: {gap:+.4f} (noise {noise:.4f}) -> {verdict}")
+            gap_vs_noise(f"{hi} - {lo}", rows[hi][1], rows[lo][1])
     return rows
 
 
@@ -208,10 +179,7 @@ def main(argv=None):
     args = p.parse_args(argv)
     out_path = args.out or os.path.join(args.root, "results.json")
 
-    results = {}
-    if os.path.exists(out_path):
-        with open(out_path) as f:
-            results = json.load(f)
+    results = load_results(out_path)
     if args.summarize:
         summarize(results, list(args.configs) + list(EXTRA_EVALS), args.seeds)
         return
@@ -220,7 +188,9 @@ def main(argv=None):
         summarize(results, list(args.configs) + list(EXTRA_EVALS), args.seeds)
         return
 
-    gen_data(args.root, args.grid, args.train_scenes, args.val_scenes, args.frames)
+    gen_synthetic("tools/det/create_data_det.py", args.root, args.grid,
+                  {"train": args.train_scenes, "val": args.val_scenes},
+                  args.frames)
     # upperbound first within each seed: disco_kd needs its checkpoint
     order = sorted(args.configs, key=lambda c: (c != "upperbound"))
     for seed in args.seeds:

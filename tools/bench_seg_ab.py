@@ -9,8 +9,9 @@ measures the deviation: trains `--com disco` seg with both backbones x N
 seeds on the same synthetic data and reports mIoU mean +/- std per backbone,
 so BASELINE.md can state the A/B with error bars.
 
-Resumable like tools/bench_quality.py: finished (backbone, seed) cells are
-skipped via --out; interrupted training continues via --auto_resume_path.
+Resumable like tools/bench_quality.py (shared tools/_bench_harness.py
+machinery): finished (backbone, seed) cells are skipped via --out;
+interrupted training continues via --auto_resume_path.
 
 Usage:
     python tools/bench_seg_ab.py --root /tmp/v2x_seg_ab --seeds 0 1 2
@@ -20,33 +21,17 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import re
-import subprocess
 import sys
 import time
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _bench_harness import (  # noqa: E402
+    gap_vs_noise, gen_synthetic, load_results, save_results, sh)
 
 MIOU_RE = re.compile(r"mIoU \|\s+([\d.]+)")
 CLASS_RE = re.compile(r"^\s*(\w+) \|\s+([\d.]+)\s*$", re.M)
-
-
-def gen_data(root, grid, scenes, frames):
-    os.makedirs(root, exist_ok=True)
-    for split in ("train", "val"):
-        out = os.path.join(root, split)
-        if os.path.isdir(out) and os.listdir(out):
-            continue
-        with open(os.path.join(root, "gen.log"), "a") as f:
-            r = subprocess.run(
-                [sys.executable, "tools/seg/create_data_seg.py", "--mode", "synthetic",
-                 "--savepath", root, "--split", split, "--scenes", str(scenes),
-                 "--frames", str(frames), "--grid", str(grid)],
-                stdout=f, stderr=subprocess.STDOUT, cwd=REPO)
-        if r.returncode != 0:
-            raise RuntimeError(f"data gen failed for {split} (see {root}/gen.log)")
 
 
 def run_cell(backbone, seed, args, results, out_path):
@@ -60,33 +45,24 @@ def run_cell(backbone, seed, args, results, out_path):
     common = ["--com", args.com, "--seg_backbone", backbone,
               "--grid", str(args.grid), "--batch", str(args.batch)]
     t0 = time.time()
-    with open(log_file, "a") as f:
-        r = subprocess.run(
-            [sys.executable, "tools/seg/train_codet.py",
-             "--data", os.path.join(args.root, "train"), *common,
-             "--nepoch", str(args.nepoch), "--seed", str(seed),
-             "--logpath", logpath, "--auto_resume_path", logpath,
-             "--ckpt_every", str(args.nepoch), "--ckpt_keep", "1"],
-            stdout=f, stderr=subprocess.STDOUT, cwd=REPO)
-    if r.returncode != 0:
-        raise RuntimeError(f"train failed for {key} (see {log_file})")
+    sh([sys.executable, "tools/seg/train_codet.py",
+        "--data", os.path.join(args.root, "train"), *common,
+        "--nepoch", str(args.nepoch), "--seed", str(seed),
+        "--logpath", logpath, "--auto_resume_path", logpath,
+        "--ckpt_every", str(args.nepoch), "--ckpt_keep", "1"], log_file)
     resume = os.path.join(logpath, f"{args.com}_seg", "ckpt")
-    r = subprocess.run(
-        [sys.executable, "tools/seg/test_codet.py",
-         "--data", os.path.join(args.root, "val"), *common, "--resume", resume],
-        capture_output=True, text=True, cwd=REPO)
-    with open(log_file, "a") as f:
-        f.write(r.stdout + r.stderr)
-    m = MIOU_RE.search(r.stdout)
-    if r.returncode != 0 or not m:
-        raise RuntimeError(f"eval failed for {key} (see {log_file})")
+    stdout = sh([sys.executable, "tools/seg/test_codet.py",
+                 "--data", os.path.join(args.root, "val"), *common,
+                 "--resume", resume], log_file, capture=True)
+    m = MIOU_RE.search(stdout)
+    if not m:
+        raise RuntimeError(f"no mIoU table for {key} (see {log_file})")
     results[key] = {
         "mIoU": float(m.group(1)),
-        "iou": {c: float(v) for c, v in CLASS_RE.findall(r.stdout) if c != "mIoU"},
+        "iou": {c: float(v) for c, v in CLASS_RE.findall(stdout) if c != "mIoU"},
         "train_s": round(time.time() - t0, 1),
     }
-    with open(out_path, "w") as f:
-        json.dump(results, f, indent=1, sort_keys=True)
+    save_results(results, out_path)
     print(f"[done] {key}: mIoU {results[key]['mIoU']}", flush=True)
 
 
@@ -104,10 +80,8 @@ def summarize(results, com, seeds):
         rows[backbone] = v
         print(f"{backbone:<8} {v.mean():.4f} +/- {v.std():.4f}  {len(v)}")
     if len(rows) == 2:
-        gap = rows["unet"].mean() - rows["stpn"].mean()
-        noise = float(np.sqrt(rows["unet"].std() ** 2 + rows["stpn"].std() ** 2))
-        verdict = "SIGNIFICANT" if abs(gap) > noise else "within noise"
-        print(f"\nunet - stpn: {gap:+.4f} (noise {noise:.4f}) -> {verdict}")
+        print("")
+        gap_vs_noise("unet - stpn", rows["unet"], rows["stpn"])
 
 
 def main(argv=None):
@@ -125,14 +99,12 @@ def main(argv=None):
     args = p.parse_args(argv)
     out_path = args.out or os.path.join(args.root, "results.json")
 
-    results = {}
-    if os.path.exists(out_path):
-        with open(out_path) as f:
-            results = json.load(f)
+    results = load_results(out_path)
     if args.summarize:
         summarize(results, args.com, args.seeds)
         return
-    gen_data(args.root, args.grid, args.scenes, args.frames)
+    gen_synthetic("tools/seg/create_data_seg.py", args.root, args.grid,
+                  {"train": args.scenes, "val": args.scenes}, args.frames)
     for seed in args.seeds:
         for backbone in ("unet", "stpn"):
             run_cell(backbone, seed, args, results, out_path)

@@ -168,11 +168,18 @@ def main():
     for upto, name in enumerate(names, start=-1):
         fn = jax.jit(functools.partial(stages, upto=upto))
         if roofline:
-            ca = fn.lower(*args).compile().cost_analysis()
+            # time through the same AOT executable the cost model comes from:
+            # .lower().compile() does not populate jit's call cache, so
+            # falling back to fn(*args) would compile each prefix twice
+            # (minutes per remote compile here when the persistent cache is
+            # cold).
+            compiled = fn.lower(*args).compile()
+            ca = compiled.cost_analysis()
             if isinstance(ca, (list, tuple)):
                 ca = ca[0]
             cost.append((float(ca.get("flops", 0.0)),
                          float(ca.get("bytes accessed", 0.0))))
+            fn = compiled
         for _ in range(WARMUP):
             float(fn(*args))
         t0 = time.perf_counter()

@@ -203,7 +203,8 @@ def main(argv=None):
             teacher_feat_bytes,
         )
 
-        nbytes = teacher_feat_bytes(teacher, teacher_vars, cfg, len(dataset))
+        nbytes = teacher_feat_bytes(teacher, teacher_vars, cfg, len(dataset),
+                                    batch_size=args.batch)
         if nbytes <= args.kd_cache_gb * 2**30:
             t0 = time.time()
             teacher_vars = precompute_teacher_feats(
