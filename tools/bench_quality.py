@@ -58,6 +58,10 @@ EXTRA_EVALS = {
 }
 
 AVG_RE = re.compile(r"average \|\s+([\d.]+) \|\s+([\d.]+) \|\s+(\d+) \|\s+(\d+)")
+# eval_mot.py's "avg" row: MOTA (can be negative) then MOTP
+MOT_AVG_RE = re.compile(r"avg \|\s+(-?[\d.]+) \|\s+([\d.]+)")
+# configs whose checkpoints get the tracking pipeline (--track_evals)
+TRACK_EVALS = ("disco_kd", "disco", "lowerbound")
 
 
 def run_cell(name, seed, args, results, out_path):
@@ -135,6 +139,45 @@ def run_extra_evals(args, results, out_path):
             print(f"[done] {key}: {results[key]}", flush=True)
 
 
+def run_track_evals(args, results, out_path):
+    """Tracking quality with error bars: for each TRACK_EVALS config x seed,
+    dump val detections (test_codet --tracking), associate with SORT, score
+    with CLEAR-MOT — the full reference `make sort && make eval` pipeline
+    (README.md:85-100), seeded like the det matrix."""
+    for base in TRACK_EVALS:
+        for seed in args.seeds:
+            key = f"{base}+track/seed{seed}"
+            if key in results:
+                print(f"[skip] {key}")
+                continue
+            logpath = os.path.join(args.root, "logs", f"seed{seed}")
+            resume = os.path.join(logpath, base, f"epoch_{args.nepoch}.pth")
+            if not os.path.exists(resume):
+                print(f"[miss] {key}: no {resume}")
+                continue
+            log_file = os.path.join(logpath, f"{base}+track.log")
+            # test_codet writes {logpath}/{mode}/{with_rsu}/{split}/det_dumps;
+            # mode strips the _kd suffix
+            mode = "disco" if base.startswith("disco") else base
+            run_eval(base, resume, ["--tracking", "--split", "val"],
+                     args, logpath, log_file)
+            dumps = os.path.join(logpath, mode, "with_rsu", "val", "det_dumps")
+            tracks = os.path.join(os.path.dirname(dumps), "tracks")
+            sh([sys.executable, "tools/track/sort.py",
+                "--det_logs_path", dumps, "--out", tracks], log_file)
+            stdout = sh([sys.executable, "tools/track/eval_mot.py",
+                         "--data", os.path.join(args.root, "val"),
+                         "--tracks", tracks, "--grid", str(args.grid)],
+                        log_file, capture=True)
+            m = MOT_AVG_RE.search(stdout)
+            if not m:
+                raise RuntimeError(f"no CLEAR-MOT avg row for {key} "
+                                   f"(see {log_file})")
+            results[key] = {"MOTA": float(m.group(1)), "MOTP": float(m.group(2))}
+            save_results(results, out_path)
+            print(f"[done] {key}: {results[key]}", flush=True)
+
+
 def summarize(results, configs, seeds):
     import numpy as np
 
@@ -156,6 +199,24 @@ def summarize(results, configs, seeds):
                    ("disco", "lowerbound"), ("v2v", "when2com")]:
         if hi in rows and lo in rows:
             gap_vs_noise(f"{hi} - {lo}", rows[hi][1], rows[lo][1])
+
+    # tracking rows (--track_evals), if present
+    mot_rows = {}
+    for base in TRACK_EVALS:
+        vals = [results[f"{base}+track/seed{s}"] for s in seeds
+                if f"{base}+track/seed{s}" in results]
+        if vals:
+            mot_rows[base] = (np.array([v["MOTA"] for v in vals]),
+                              np.array([v["MOTP"] for v in vals]))
+    if mot_rows:
+        print(f"\n{'tracking on':<12} {'MOTA':>16} {'MOTP':>16}  n")
+        for base, (mota, motp) in mot_rows.items():
+            print(f"{base:<12} {mota.mean():.4f} +/- {mota.std():.4f} "
+                  f"{motp.mean():.4f} +/- {motp.std():.4f}  {len(mota)}")
+        if "disco" in mot_rows and "lowerbound" in mot_rows:
+            print("\nordering checks (MOTA):")
+            gap_vs_noise("disco - lowerbound",
+                         mot_rows["disco"][0], mot_rows["lowerbound"][0])
     return rows
 
 
@@ -176,6 +237,9 @@ def main(argv=None):
     p.add_argument("--extra_evals", action="store_true",
                    help="eval-only robustness rows (pose noise, late fusion) "
                         "over the already-trained matrix checkpoints")
+    p.add_argument("--track_evals", action="store_true",
+                   help="tracking rows (SORT + CLEAR-MOT over matrix "
+                        "checkpoints' val detections) with error bars")
     args = p.parse_args(argv)
     out_path = args.out or os.path.join(args.root, "results.json")
 
@@ -185,6 +249,10 @@ def main(argv=None):
         return
     if args.extra_evals:
         run_extra_evals(args, results, out_path)
+        summarize(results, list(args.configs) + list(EXTRA_EVALS), args.seeds)
+        return
+    if args.track_evals:
+        run_track_evals(args, results, out_path)
         summarize(results, list(args.configs) + list(EXTRA_EVALS), args.seeds)
         return
 
