@@ -258,6 +258,153 @@ class DiscoNetTorch(nn.Module):
         )
 
 
+class ConvGRUTorch(nn.Module):
+    """Torch twin of models/v2v_net.py::ConvGRU (NCHW)."""
+
+    def __init__(self, features: int, kernel: int = 3):
+        super().__init__()
+        pad = kernel // 2
+        self.update = nn.Conv2d(2 * features, features, kernel, padding=pad)
+        self.reset = nn.Conv2d(2 * features, features, kernel, padding=pad)
+        self.cand = nn.Conv2d(2 * features, features, kernel, padding=pad)
+
+    def forward(self, h, x):  # both (N, C, h, w)
+        hx = torch.cat([h, x], dim=1)
+        z = torch.sigmoid(self.update(hx))
+        r = torch.sigmoid(self.reset(hx))
+        cand = torch.tanh(self.cand(torch.cat([r * h, x], dim=1)))
+        return (1.0 - z) * h + z * cand
+
+
+class V2VNetTorch(nn.Module):
+    """Reference V2VNet (SURVEY.md C16): multi-round GNN message passing with
+    a ConvGRU state update, re-warping the hidden states every round. Python
+    loops over (b, i, j) as the reference does — the structurally-independent
+    oracle for models/v2v_net.py."""
+
+    def __init__(self, config: Config, layer: int = 3, rounds: int = 3):
+        super().__init__()
+        self.config = config
+        self.layer = layer
+        self.rounds = rounds
+        Z = config.grid_size[2]
+        self.stpn = STPNTorch(Z, config.backbone_channels, config.head_channels)
+        self.heads = HeadsTorch(
+            config.head_channels, config.num_anchors, config.num_classes,
+            config.box_code_size,
+        )
+        C = config.backbone_channels[min(layer, len(config.backbone_channels) - 1)]
+        self.msg_conv = nn.Conv2d(2 * C, C, 3, padding=1)
+        self.gru = ConvGRUTorch(C)
+
+    def forward(self, bev: torch.Tensor, trans: np.ndarray, agent_mask: np.ndarray):
+        B, A, H, W, Z = bev.shape
+        x = bev.reshape(B * A, H, W, Z).permute(0, 3, 1, 2).contiguous()
+        feats = self.stpn.encode(x)
+        k = self.layer
+        fk = feats[k].reshape((B, A) + feats[k].shape[1:])  # (B, A, C, h, w)
+        extents = self.config.area_extents[:2]
+
+        hidden = fk.clone()
+        for _ in range(self.rounds):
+            new_hidden = hidden.clone()
+            for b in range(B):
+                present = [j for j in range(A) if agent_mask[b, j]]
+                for i in present:
+                    msgs = []
+                    for j in present:
+                        wj = warp_to_receiver(hidden[b, j], trans[b, i, j], extents)
+                        pair = torch.cat([hidden[b, i], wj], dim=0)[None]
+                        msgs.append(F.relu(self.msg_conv(pair))[0])
+                    agg = torch.stack(msgs).mean(dim=0)
+                    new_hidden[b, i] = self.gru(hidden[b, i][None], agg[None])[0]
+            hidden = new_hidden
+
+        feats = list(feats)
+        feats[k] = hidden.reshape((B * A,) + hidden.shape[2:])
+        head_in = self.stpn.decode(feats)
+        cls, reg = self.heads(head_in)
+        return (
+            cls.reshape((B, A) + cls.shape[1:]),
+            reg.reshape((B, A) + reg.shape[1:]),
+        )
+
+
+class HandshakeEncoderTorch(nn.Module):
+    """Torch twin of models/when2com.py::_HandshakeEncoder: two stride-2
+    ConvBNRelu, global average pool, Dense."""
+
+    def __init__(self, cin: int, out_dim: int):
+        super().__init__()
+        self.ConvBNRelu_0 = ConvBNReluTorch(cin, 64, kernel=3, stride=2)
+        self.ConvBNRelu_1 = ConvBNReluTorch(64, 32, kernel=3, stride=2)
+        self.Dense_0 = nn.Linear(32, out_dim)
+
+    def forward(self, x):  # (N, C, h, w)
+        x = self.ConvBNRelu_1(self.ConvBNRelu_0(x))
+        return self.Dense_0(x.mean(dim=(2, 3)))
+
+
+class When2comTorch(nn.Module):
+    """Reference When2com/Who2com (SURVEY.md C17): handshake query/key
+    attention over senders; ``warp_flag`` selects pose-warped values;
+    ``hard_select`` is Who2com's argmax selection at inference."""
+
+    def __init__(self, config: Config, layer: int = 3, query_dim: int = 32,
+                 key_dim: int = 32, warp_flag: bool = True,
+                 hard_select: bool = False):
+        super().__init__()
+        self.config = config
+        self.layer = layer
+        self.key_dim = key_dim
+        self.warp_flag = warp_flag
+        self.hard_select = hard_select
+        Z = config.grid_size[2]
+        self.stpn = STPNTorch(Z, config.backbone_channels, config.head_channels)
+        self.heads = HeadsTorch(
+            config.head_channels, config.num_anchors, config.num_classes,
+            config.box_code_size,
+        )
+        C = config.backbone_channels[min(layer, len(config.backbone_channels) - 1)]
+        self.query_net = HandshakeEncoderTorch(C, query_dim)
+        self.key_net = HandshakeEncoderTorch(C, key_dim)
+        self.attn_w = nn.Linear(query_dim, key_dim, bias=False)
+
+    def forward(self, bev: torch.Tensor, trans: np.ndarray, agent_mask: np.ndarray):
+        B, A, H, W, Z = bev.shape
+        x = bev.reshape(B * A, H, W, Z).permute(0, 3, 1, 2).contiguous()
+        feats = self.stpn.encode(x)
+        k = self.layer
+        fk = feats[k].reshape((B, A) + feats[k].shape[1:])  # (B, A, C, h, w)
+        extents = self.config.area_extents[:2]
+
+        fused = torch.zeros_like(fk)
+        for b in range(B):
+            present = [j for j in range(A) if agent_mask[b, j]]
+            q = self.query_net(fk[b, present])  # (P, qd)
+            kv = self.key_net(fk[b, present])  # (P, kd)
+            scores = (self.attn_w(q) @ kv.T) / float(self.key_dim) ** 0.5
+            attn = torch.softmax(scores, dim=1)  # (P_recv, P_send)
+            if self.hard_select:
+                attn = F.one_hot(attn.argmax(dim=1), len(present)).to(attn.dtype)
+            for pi, i in enumerate(present):
+                acc = torch.zeros_like(fk[b, i])
+                for pj, j in enumerate(present):
+                    vj = (warp_to_receiver(fk[b, j], trans[b, i, j], extents)
+                          if self.warp_flag else fk[b, j])
+                    acc = acc + attn[pi, pj] * vj
+                fused[b, i] = acc
+
+        feats = list(feats)
+        feats[k] = fused.reshape((B * A,) + fused.shape[2:])
+        head_in = self.stpn.decode(feats)
+        cls, reg = self.heads(head_in)
+        return (
+            cls.reshape((B, A) + cls.shape[1:]),
+            reg.reshape((B, A) + reg.shape[1:]),
+        )
+
+
 def load_pth_into_torch(model: nn.Module, path: str) -> nn.Module:
     """Load a ``save_pth`` export into the twin with strict=True — missing or
     extra keys fail loudly, making key naming a cross-framework contract."""

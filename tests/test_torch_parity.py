@@ -127,6 +127,54 @@ def test_disconet_pth_forward_parity(tmp_path):
     _assert_close(out["reg"], reg_t, mask, "reg")
 
 
+def test_v2vnet_pth_forward_parity(tmp_path):
+    """ConvGRU message passing incl. per-round re-warps, cross-framework."""
+    from disconet_tpu.compat import V2VNetTorch, load_pth_into_torch
+    from disconet_tpu.models import build_model
+
+    bev, trans, mask = _inputs(3)
+    model = build_model("v2v", CFG)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(bev),
+                           jnp.asarray(trans), jnp.asarray(mask), train=False)
+    params, stats = _warm_bn(model, variables, bev, trans, mask)
+    out = model.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(bev), jnp.asarray(trans), jnp.asarray(mask),
+                      train=False)
+
+    twin = load_pth_into_torch(V2VNetTorch(CFG, layer=3), _export(tmp_path, params, stats))
+    with torch.no_grad():
+        cls_t, reg_t = twin(torch.from_numpy(bev), trans, mask)
+    _assert_close(out["cls"], cls_t, mask, "cls")
+    _assert_close(out["reg"], reg_t, mask, "reg")
+
+
+@pytest.mark.parametrize("com,warp_flag", [
+    ("when2com", True),
+    ("when2com", False),   # the reference's no-warp value variant
+    ("who2com", True),     # hard_select argmax at inference
+])
+def test_when2com_pth_forward_parity(tmp_path, com, warp_flag):
+    from disconet_tpu.compat import When2comTorch, load_pth_into_torch
+    from disconet_tpu.models import build_model
+
+    bev, trans, mask = _inputs(4)
+    model = build_model(com, CFG, warp_flag=warp_flag)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(bev),
+                           jnp.asarray(trans), jnp.asarray(mask), train=False)
+    params, stats = _warm_bn(model, variables, bev, trans, mask)
+    out = model.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(bev), jnp.asarray(trans), jnp.asarray(mask),
+                      train=False)
+
+    twin = When2comTorch(CFG, layer=3, warp_flag=warp_flag,
+                         hard_select=(com == "who2com"))
+    twin = load_pth_into_torch(twin, _export(tmp_path, params, stats))
+    with torch.no_grad():
+        cls_t, reg_t = twin(torch.from_numpy(bev), trans, mask)
+    _assert_close(out["cls"], cls_t, mask, "cls")
+    _assert_close(out["reg"], reg_t, mask, "reg")
+
+
 def test_twin_rejects_renamed_keys(tmp_path):
     """strict loading is the contract: a renamed key must fail loudly."""
     from disconet_tpu.compat import FaFNetTorch, load_pth_into_torch
