@@ -40,9 +40,14 @@ CONFIGS = {
     "v2v": ["--com", "v2v"],
     "disco": ["--com", "disco"],
     "disco_kd": ["--com", "disco", "--kd_flag", "1"],
+    "disco_norsu": ["--com", "disco", "--rsu", "0"],  # BASELINE.json config 3
     "mean": ["--com", "mean"],
     "max": ["--com", "max"],
 }
+# configs whose train-CLI mode dir differs from the matrix cell name (the CLI
+# writes under {com}{_kd}; same-mode cells with different flags need their own
+# logpath subdir so checkpoints don't collide)
+MODE_DIR = {"disco_norsu": "disco"}
 # eval-only robustness rows (--extra_evals): reuse a trained base
 # checkpoint, re-evaluate with extra test flags — the paper's pose-noise
 # robustness study (and late fusion) with the same seeds/error bars.
@@ -70,6 +75,8 @@ def run_cell(name, seed, args, results, out_path):
         print(f"[skip] {key}: {results[key]}")
         return
     logpath = os.path.join(args.root, "logs", f"seed{seed}")
+    if name in MODE_DIR:  # own subdir: the CLI's mode dir would collide
+        logpath = os.path.join(logpath, name)
     os.makedirs(logpath, exist_ok=True)
     log_file = os.path.join(logpath, f"{name}.log")
     extra = list(CONFIGS[name])
@@ -82,7 +89,8 @@ def run_cell(name, seed, args, results, out_path):
 
     t0 = time.time()
     # train CLI writes under (com or bound) + optional _kd == the config key
-    resume = os.path.join(logpath, name, f"epoch_{args.nepoch}.pth")
+    resume = os.path.join(logpath, MODE_DIR.get(name, name),
+                          f"epoch_{args.nepoch}.pth")
     if not os.path.exists(resume):  # mid-cell resume: train only if needed
         sh([sys.executable, "tools/det/train_codet.py",
             "--data", os.path.join(args.root, "train"), *extra,
@@ -196,7 +204,8 @@ def summarize(results, configs, seeds):
     # the paper's ordering claims (SURVEY.md §6), checked against noise
     print("\nordering checks (gap vs combined std, mAP@0.7):")
     for hi, lo in [("upperbound", "lowerbound"), ("disco_kd", "disco"),
-                   ("disco", "lowerbound"), ("v2v", "when2com")]:
+                   ("disco", "lowerbound"), ("v2v", "when2com"),
+                   ("disco", "disco_norsu")]:
         if hi in rows and lo in rows:
             gap_vs_noise(f"{hi} - {lo}", rows[hi][1], rows[lo][1])
 
