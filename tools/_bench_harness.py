@@ -14,6 +14,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -33,6 +34,22 @@ def sh(cmd, log_file, capture: bool = False) -> str:
     if r.returncode != 0:
         raise RuntimeError(f"command failed (see {log_file}): {' '.join(cmd)}")
     return (r.stdout or "") if capture else ""
+
+
+def with_retries(what: str, fn, attempts: int = 3, sleep_s: float = 90.0):
+    """Run ``fn()`` retrying on RuntimeError. The TPU tunnel occasionally
+    throws a transient FAILED_PRECONDITION mid-subprocess (observed killing a
+    4-hour matrix at seed1/v2v); cells are cheap to redo and results are
+    resumable, so per-cell retries beat dying. The last failure propagates."""
+    for attempt in range(1, attempts + 1):
+        try:
+            return fn()
+        except RuntimeError as e:
+            if attempt == attempts:
+                raise
+            print(f"[retry] {what}: attempt {attempt} failed ({e}); "
+                  f"retrying in {sleep_s:.0f}s", flush=True)
+            time.sleep(sleep_s)
 
 
 def gen_synthetic(create_cli: str, root: str, grid: int,

@@ -28,7 +28,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from _bench_harness import (  # noqa: E402
-    REPO, gap_vs_noise, gen_synthetic, load_results, save_results, sh)
+    REPO, gap_vs_noise, gen_synthetic, load_results, save_results, sh,
+    with_retries)
 
 # operating point -> extra train/test CLI flags. disco_kd's teacher is the
 # SAME seed's trained upperbound checkpoint (TeacherNet == FaFNet-upperbound
@@ -91,16 +92,21 @@ def run_cell(name, seed, args, results, out_path):
     # train CLI writes under (com or bound) + optional _kd == the config key
     resume = os.path.join(logpath, MODE_DIR.get(name, name),
                           f"epoch_{args.nepoch}.pth")
-    if not os.path.exists(resume):  # mid-cell resume: train only if needed
-        sh([sys.executable, "tools/det/train_codet.py",
-            "--data", os.path.join(args.root, "train"), *extra,
-            "--batch", str(args.batch), "--nepoch", str(args.nepoch),
-            "--grid", str(args.grid), "--seed", str(seed), "--logpath", logpath,
-            # final-epoch checkpoint only: per-epoch orbax+pth export measured
-            # ~8 s/epoch of host I/O — 77% of a cell's wall time at 64-grid
-            "--ckpt_every", str(args.nepoch), "--ckpt_keep", "1"], log_file)
-    cell = run_eval(name, resume, [], args, logpath, log_file)
-    cell["train_s"] = round(time.time() - t0, 1)
+    trained = not os.path.exists(resume)
+    if trained:  # mid-cell resume: train only if needed
+        with_retries(f"{key} train", lambda: sh(
+            [sys.executable, "tools/det/train_codet.py",
+             "--data", os.path.join(args.root, "train"), *extra,
+             "--batch", str(args.batch), "--nepoch", str(args.nepoch),
+             "--grid", str(args.grid), "--seed", str(seed),
+             "--logpath", logpath,
+             # final-epoch checkpoint only: per-epoch orbax+pth export measured
+             # ~8 s/epoch of host I/O — 77% of a cell's wall time at 64-grid
+             "--ckpt_every", str(args.nepoch), "--ckpt_keep", "1"], log_file))
+    cell = with_retries(f"{key} eval", lambda: run_eval(
+        name, resume, [], args, logpath, log_file))
+    if trained:  # on a resumed cell t0-to-now is eval time, not training
+        cell["train_s"] = round(time.time() - t0, 1)
     results[key] = cell
     save_results(results, out_path)
     print(f"[done] {key}: {results[key]}", flush=True)
@@ -141,8 +147,9 @@ def run_extra_evals(args, results, out_path):
             if not os.path.exists(resume):
                 print(f"[miss] {key}: no {resume}")
                 continue
-            results[key] = run_eval(base, resume, flags, args, logpath,
-                                    os.path.join(logpath, f"{name}.log"))
+            results[key] = with_retries(key, lambda: run_eval(
+                base, resume, flags, args, logpath,
+                os.path.join(logpath, f"{name}.log")))
             save_results(results, out_path)
             print(f"[done] {key}: {results[key]}", flush=True)
 
@@ -167,16 +174,21 @@ def run_track_evals(args, results, out_path):
             # test_codet writes {logpath}/{mode}/{with_rsu}/{split}/det_dumps;
             # mode strips the _kd suffix
             mode = "disco" if base.startswith("disco") else base
-            run_eval(base, resume, ["--tracking", "--split", "val"],
-                     args, logpath, log_file)
-            dumps = os.path.join(logpath, mode, "with_rsu", "val", "det_dumps")
-            tracks = os.path.join(os.path.dirname(dumps), "tracks")
-            sh([sys.executable, "tools/track/sort.py",
-                "--det_logs_path", dumps, "--out", tracks], log_file)
-            stdout = sh([sys.executable, "tools/track/eval_mot.py",
-                         "--data", os.path.join(args.root, "val"),
-                         "--tracks", tracks, "--grid", str(args.grid)],
-                        log_file, capture=True)
+
+            def _pipeline():
+                run_eval(base, resume, ["--tracking", "--split", "val"],
+                         args, logpath, log_file)
+                dumps = os.path.join(logpath, mode, "with_rsu", "val",
+                                     "det_dumps")
+                tracks = os.path.join(os.path.dirname(dumps), "tracks")
+                sh([sys.executable, "tools/track/sort.py",
+                    "--det_logs_path", dumps, "--out", tracks], log_file)
+                return sh([sys.executable, "tools/track/eval_mot.py",
+                           "--data", os.path.join(args.root, "val"),
+                           "--tracks", tracks, "--grid", str(args.grid)],
+                          log_file, capture=True)
+
+            stdout = with_retries(key, _pipeline)
             m = MOT_AVG_RE.search(stdout)
             if not m:
                 raise RuntimeError(f"no CLEAR-MOT avg row for {key} "

@@ -28,7 +28,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from _bench_harness import (  # noqa: E402
-    gap_vs_noise, gen_synthetic, load_results, save_results, sh)
+    gap_vs_noise, gen_synthetic, load_results, save_results, sh, with_retries)
 
 MIOU_RE = re.compile(r"mIoU \|\s+([\d.]+)")
 CLASS_RE = re.compile(r"^\s*(\w+) \|\s+([\d.]+)\s*$", re.M)
@@ -45,15 +45,17 @@ def run_cell(backbone, seed, args, results, out_path):
     common = ["--com", args.com, "--seg_backbone", backbone,
               "--grid", str(args.grid), "--batch", str(args.batch)]
     t0 = time.time()
-    sh([sys.executable, "tools/seg/train_codet.py",
-        "--data", os.path.join(args.root, "train"), *common,
-        "--nepoch", str(args.nepoch), "--seed", str(seed),
-        "--logpath", logpath, "--auto_resume_path", logpath,
-        "--ckpt_every", str(args.nepoch), "--ckpt_keep", "1"], log_file)
+    with_retries(f"{key} train", lambda: sh(
+        [sys.executable, "tools/seg/train_codet.py",
+         "--data", os.path.join(args.root, "train"), *common,
+         "--nepoch", str(args.nepoch), "--seed", str(seed),
+         "--logpath", logpath, "--auto_resume_path", logpath,
+         "--ckpt_every", str(args.nepoch), "--ckpt_keep", "1"], log_file))
     resume = os.path.join(logpath, f"{args.com}_seg", "ckpt")
-    stdout = sh([sys.executable, "tools/seg/test_codet.py",
-                 "--data", os.path.join(args.root, "val"), *common,
-                 "--resume", resume], log_file, capture=True)
+    stdout = with_retries(f"{key} test", lambda: sh(
+        [sys.executable, "tools/seg/test_codet.py",
+         "--data", os.path.join(args.root, "val"), *common,
+         "--resume", resume], log_file, capture=True))
     m = MIOU_RE.search(stdout)
     if not m:
         raise RuntimeError(f"no mIoU table for {key} (see {log_file})")
