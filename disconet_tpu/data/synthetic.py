@@ -82,12 +82,125 @@ def _sample_vehicle_points(rng: np.random.Generator, box: np.ndarray, n: int) ->
     return np.concatenate([xy, z[:, None]], axis=1)
 
 
+def _union_len(segs: List[Tuple[float, float]]) -> float:
+    """Total length of a union of 1-D intervals."""
+    if not segs:
+        return 0.0
+    segs = sorted(segs)
+    total, cur_lo, cur_hi = 0.0, segs[0][0], segs[0][1]
+    for lo, hi in segs[1:]:
+        if lo > cur_hi:
+            total += cur_hi - cur_lo
+            cur_lo, cur_hi = lo, hi
+        else:
+            cur_hi = max(cur_hi, hi)
+    return total + (cur_hi - cur_lo)
+
+
+def _angular_interval(sensor: np.ndarray, box: np.ndarray) -> Tuple[float, float]:
+    """The [lo, hi] azimuth interval a box subtends from ``sensor``, unwrapped
+    around the first corner so the ±π seam cannot split it."""
+    corners = box_corners_np(box[None])[0]  # (4, 2)
+    ang = np.arctan2(corners[:, 1] - sensor[1], corners[:, 0] - sensor[0])
+    ang = ang[0] + np.angle(np.exp(1j * (ang - ang[0])))
+    return float(ang.min()), float(ang.max())
+
+
+def shadow_segments(
+    sensor: np.ndarray, boxes: np.ndarray
+) -> List[Tuple[float, float, List[Tuple[float, float]]]]:
+    """Per box: its azimuth interval ``(lo, hi)`` from ``sensor`` plus the
+    sub-segments of that interval shadowed by *closer* boxes.
+
+    The LiDAR occlusion model of V2X-Sim scenes in 2D: a vehicle whose angular
+    extent is covered by nearer vehicles returns no points to this sensor —
+    only a *different* agent (or the RSU) sees it, which is exactly the signal
+    collaborative fusion exists to recover (SURVEY.md §1; the paper's central
+    qualitative claim in /root/reference/img.png a-c is DiscoNet recovering
+    boxes the single view misses)."""
+    G = len(boxes)
+    if G == 0:
+        return []
+    d = np.hypot(boxes[:, 0] - sensor[0], boxes[:, 1] - sensor[1])
+    ivals = [_angular_interval(sensor, b) for b in boxes]
+    out = []
+    for k in range(G):
+        lo, hi = ivals[k]
+        mid = 0.5 * (lo + hi)
+        segs = []
+        for m in range(G):
+            if m == k or d[m] >= d[k]:
+                continue
+            mlo, mhi = ivals[m]
+            # re-center m's interval onto k's branch of the circle
+            shift = 2.0 * np.pi * np.round((mid - 0.5 * (mlo + mhi)) / (2.0 * np.pi))
+            s, e = max(lo, mlo + shift), min(hi, mhi + shift)
+            if e > s:
+                segs.append((s, e))
+        out.append((lo, hi, segs))
+    return out
+
+
+def visible_fractions(sensor: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+    """Fraction of each box's azimuth interval NOT shadowed by a closer box
+    (see ``shadow_segments``)."""
+    frac = np.ones(len(boxes), dtype=np.float32)
+    for k, (lo, hi, segs) in enumerate(shadow_segments(sensor, boxes)):
+        width = hi - lo
+        if width > 1e-9:
+            frac[k] = max(0.0, 1.0 - _union_len(segs) / width)
+    return frac
+
+
 def _sample_ground_points(rng: np.random.Generator, center: np.ndarray, n: int, radius: float) -> np.ndarray:
     r = radius * np.sqrt(rng.uniform(0.05, 1.0, size=n))
     a = rng.uniform(0, 2 * np.pi, size=n)
     xy = center[None, :] + np.stack([r * np.cos(a), r * np.sin(a)], axis=1)
     z = rng.normal(-1.9, 0.05, size=n)
     return np.concatenate([xy, z[:, None]], axis=1)
+
+
+def _agent_cloud(
+    rng: np.random.Generator,
+    sensor: np.ndarray,
+    boxes_world: np.ndarray,
+    max_range: float,
+    points_per_vehicle: int,
+    ground_points: int,
+    occlusion: bool,
+) -> np.ndarray:
+    """One agent's LiDAR-ish cloud (world frame): sparse ground returns plus
+    per-vehicle surface returns whose density falls with range — and, with
+    ``occlusion``, with the visible fraction of the vehicle's azimuth interval
+    (closer vehicles shadow farther ones; a fully shadowed vehicle returns
+    nothing, so only collaboration can recover it)."""
+    pts = [_sample_ground_points(rng, sensor, ground_points, max_range * 0.7)]
+    shadows = shadow_segments(sensor, boxes_world) if occlusion else None
+    for k, box in enumerate(boxes_world):
+        d = np.hypot(box[0] - sensor[0], box[1] - sensor[1])
+        if d > max_range:
+            continue
+        n = int(points_per_vehicle * min(1.0, (12.0 / max(d, 3.0)) ** 1.5))
+        if not occlusion:
+            pts.append(_sample_vehicle_points(rng, box, max(6, n)))
+            continue
+        # spatially-correct shadowing: sample the surface at the unshadowed
+        # density, then reject returns whose azimuth a closer vehicle covers —
+        # partially occluded vehicles keep only the visible sliver of points
+        cand = _sample_vehicle_points(rng, box, max(1, n))
+        lo, hi, segs = shadows[k]
+        if segs:
+            mid = 0.5 * (lo + hi)
+            ang = np.arctan2(cand[:, 1] - sensor[1], cand[:, 0] - sensor[0])
+            ang = mid + np.angle(np.exp(1j * (ang - mid)))
+            keep = np.ones(len(cand), dtype=bool)
+            for s, e in segs:
+                keep &= ~((ang >= s) & (ang <= e))
+            cand = cand[keep]
+        if len(cand) < 3:  # (near-)fully shadowed: no returns at all
+            continue
+        pts.append(cand)
+    return np.concatenate(pts, axis=0).astype(np.float32)
 
 
 def generate_scene(
@@ -97,6 +210,7 @@ def generate_scene(
     num_vehicles: Optional[int] = None,
     points_per_vehicle: int = 220,
     ground_points: int = 1500,
+    occlusion: bool = False,
 ) -> Dict:
     """One world + agents + per-agent clouds and gt. Returns a raw scene dict.
 
@@ -108,7 +222,11 @@ def generate_scene(
     world_half = 0.75 * (x_hi - x_lo)  # world a bit larger than one agent's view
 
     A = int(num_agents if num_agents is not None else rng.integers(2, config.max_agents + 1))
-    G = int(num_vehicles if num_vehicles is not None else rng.integers(6, 14))
+    # occluded scenes default denser: shadowing needs traffic (measured: at
+    # G~8 only ~2% of in-range boxes are fully hidden, at G~16 ~7.6% plus
+    # ~57% losing half their returns — enough signal for fusion to matter)
+    G = int(num_vehicles if num_vehicles is not None
+            else rng.integers(12, 20) if occlusion else rng.integers(6, 14))
 
     # road band through the world, vehicles placed along it + some off-road
     road_y = rng.uniform(-0.3, 0.3) * world_half
@@ -140,18 +258,12 @@ def generate_scene(
     agent_poses = np.stack(poses)  # (A, 4, 4)
 
     # per-agent clouds (world frame); density falls with range from the sensor
-    clouds = []
     max_range = 0.9 * (x_hi - x_lo)
-    for a in range(A):
-        sensor = agent_poses[a][:2, 3]
-        pts = [_sample_ground_points(rng, sensor, ground_points, max_range * 0.7)]
-        for box in boxes_world:
-            d = np.hypot(box[0] - sensor[0], box[1] - sensor[1])
-            if d > max_range:
-                continue
-            n = max(6, int(points_per_vehicle * min(1.0, (12.0 / max(d, 3.0)) ** 1.5)))
-            pts.append(_sample_vehicle_points(rng, box, n))
-        clouds.append(np.concatenate(pts, axis=0).astype(np.float32))
+    clouds = [
+        _agent_cloud(rng, agent_poses[a][:2, 3], boxes_world, max_range,
+                     points_per_vehicle, ground_points, occlusion)
+        for a in range(A)
+    ]
 
     return {
         "boxes_world": boxes_world,
@@ -159,6 +271,7 @@ def generate_scene(
         "points": clouds,
         "num_agents": A,
         "road": (road_y, road_w),
+        "occlusion": occlusion,
     }
 
 
@@ -261,6 +374,7 @@ def generate_dataset(
     frames_per_scene: int = 4,
     seed: int = 0,
     num_agents: Optional[int] = None,
+    occlusion: bool = False,
 ) -> Tuple[int, int]:
     """Write a synthetic mini-dataset in the reference directory layout (C5).
 
@@ -270,7 +384,8 @@ def generate_dataset(
     anchors = make_anchors(config)
     n_files = 0
     for s in range(num_scenes):
-        scene = generate_scene(seed * 1000 + s, config, num_agents=num_agents)
+        scene = generate_scene(seed * 1000 + s, config, num_agents=num_agents,
+                               occlusion=occlusion)
         for f in range(frames_per_scene):
             frames = scene_to_frames(scene, config, anchors=anchors)
             for i, fr in enumerate(frames):
@@ -286,17 +401,10 @@ def generate_dataset(
 
 def _resample_points(scene: Dict, config: Config) -> List[np.ndarray]:
     rng = np.random.default_rng(int(abs(scene["boxes_world"][:, 0].sum() * 100)) % (2**31))
-    clouds = []
     (x_lo, x_hi), _, _ = config.area_extents
     max_range = 0.9 * (x_hi - x_lo)
-    for a in range(scene["num_agents"]):
-        sensor = scene["agent_poses"][a][:2, 3]
-        pts = [_sample_ground_points(rng, sensor, 1500, max_range * 0.7)]
-        for box in scene["boxes_world"]:
-            d = np.hypot(box[0] - sensor[0], box[1] - sensor[1])
-            if d > max_range:
-                continue
-            n = max(6, int(220 * min(1.0, (12.0 / max(d, 3.0)) ** 1.5)))
-            pts.append(_sample_vehicle_points(rng, box, n))
-        clouds.append(np.concatenate(pts, axis=0).astype(np.float32))
-    return clouds
+    return [
+        _agent_cloud(rng, scene["agent_poses"][a][:2, 3], scene["boxes_world"],
+                     max_range, 220, 1500, scene.get("occlusion", False))
+        for a in range(scene["num_agents"])
+    ]

@@ -174,3 +174,100 @@ def test_pose_noise_perturbation():
     # still rigid: R^T R = I
     R = out[0, 0, 1][:2, :2]
     np.testing.assert_allclose(R.T @ R, np.eye(2), atol=1e-5)
+
+
+class TestOcclusion:
+    """LiDAR shadowing in the synthetic generator (data/synthetic.py
+    shadow_segments / visible_fractions) — the collaboration signal of the
+    quality benchmark: boxes fully shadowed for one agent must be visible to
+    another, so single-view models structurally cannot match fusion models."""
+
+    def test_visible_fraction_geometry(self):
+        from disconet_tpu.data.synthetic import visible_fractions
+
+        sensor = np.array([0.0, 0.0])
+        boxes = np.array([
+            [5.0, 0.0, 2.0, 4.0, 0.0],    # near, on the +x ray
+            [15.0, 0.0, 2.0, 4.0, 0.0],   # directly behind the near one
+            [5.0, 8.0, 2.0, 4.0, 0.0],    # off to the side, unshadowed
+        ])
+        f = visible_fractions(sensor, boxes)
+        assert f[0] > 0.99
+        assert f[1] < 0.2
+        assert f[2] > 0.9
+
+    def test_seam_wraparound(self):
+        """Boxes straddling the ±π azimuth seam still shadow correctly."""
+        from disconet_tpu.data.synthetic import visible_fractions
+
+        sensor = np.array([0.0, 0.0])
+        boxes = np.array([
+            [-5.0, 0.001, 2.0, 4.0, 0.0],
+            [-15.0, -0.001, 2.0, 4.0, 0.0],
+        ])
+        f = visible_fractions(sensor, boxes)
+        assert f[0] > 0.9 and f[1] < 0.2
+
+    def test_occluded_scene_hides_boxes_from_ego_not_neighbors(self):
+        """Some in-range boxes return zero points to one agent while another
+        agent sees them — the recoverable-only-via-fusion set is non-empty."""
+        from disconet_tpu.config import tiny_config
+        from disconet_tpu.data.synthetic import generate_scene
+
+        cfg = tiny_config(64)  # the benchmark grid; 32 is too cramped to shadow
+        (x_lo, x_hi), _, _ = cfg.area_extents
+        max_range = 0.9 * (x_hi - x_lo)
+        recoverable = 0
+        for seed in range(8):
+            sc = generate_scene(seed, cfg, num_agents=4, num_vehicles=16,
+                                occlusion=True)
+            A = sc["num_agents"]
+            counts = np.zeros((A, len(sc["boxes_world"])), int)
+            in_range = np.zeros_like(counts, bool)
+            for a in range(A):
+                sensor = sc["agent_poses"][a][:2, 3]
+                pts = sc["points"][a]
+                for g, b in enumerate(sc["boxes_world"]):
+                    if np.hypot(b[0] - sensor[0], b[1] - sensor[1]) > max_range:
+                        continue
+                    in_range[a, g] = True
+                    counts[a, g] = np.sum(
+                        np.hypot(pts[:, 0] - b[0], pts[:, 1] - b[1]) < 3.0)
+            hidden = in_range & (counts == 0)
+            seen_by_any = (counts > 0).any(axis=0)
+            recoverable += int((hidden & seen_by_any[None, :]).sum())
+        assert recoverable > 0
+
+    def test_no_occlusion_default_unchanged(self):
+        """occlusion=False keeps the min-6-points floor: every in-range box
+        returns points (the pre-occlusion generator contract)."""
+        from disconet_tpu.data.synthetic import generate_scene
+
+        (x_lo, x_hi), _, _ = CFG.area_extents
+        max_range = 0.9 * (x_hi - x_lo)
+        sc = generate_scene(3, CFG, num_agents=3, num_vehicles=10,
+                            occlusion=False)
+        for a in range(sc["num_agents"]):
+            sensor = sc["agent_poses"][a][:2, 3]
+            pts = sc["points"][a]
+            for b in sc["boxes_world"]:
+                if np.hypot(b[0] - sensor[0], b[1] - sensor[1]) > max_range:
+                    continue
+                assert np.sum(
+                    np.hypot(pts[:, 0] - b[0], pts[:, 1] - b[1]) < 3.0) > 0
+
+    def test_occlusion_flag_flows_through_dataset_frames(self, tmp_path):
+        """generate_dataset(occlusion=True) writes loadable frames whose
+        teacher BEV covers boxes the student BEV misses."""
+        from disconet_tpu.data.synthetic import generate_dataset
+
+        n_files, _ = generate_dataset(str(tmp_path), CFG, num_scenes=2,
+                                      frames_per_scene=2, seed=5,
+                                      num_agents=4, occlusion=True)
+        assert n_files == 16
+        ds = V2XSimDet(str(tmp_path), CFG)
+        item = ds[0]
+        # teacher (merged) occupancy strictly exceeds any single student view
+        student = np.unpackbits(item["bev_packed"].view(np.uint8)).sum()
+        teacher = np.unpackbits(item["bev_teacher_packed"].view(np.uint8)).sum()
+        assert teacher > student

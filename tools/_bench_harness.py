@@ -53,7 +53,8 @@ def with_retries(what: str, fn, attempts: int = 3, sleep_s: float = 90.0):
 
 
 def gen_synthetic(create_cli: str, root: str, grid: int,
-                  split_scenes: dict, frames: int) -> None:
+                  split_scenes: dict, frames: int,
+                  extra: list | None = None) -> None:
     """Generate synthetic splits via a tools/*/create_data_*.py CLI (skipping
     splits that already exist). ``split_scenes`` maps split name -> #scenes."""
     os.makedirs(root, exist_ok=True)
@@ -63,7 +64,7 @@ def gen_synthetic(create_cli: str, root: str, grid: int,
             continue
         sh([sys.executable, create_cli, "--mode", "synthetic",
             "--savepath", root, "--split", split, "--scenes", str(scenes),
-            "--frames", str(frames), "--grid", str(grid)],
+            "--frames", str(frames), "--grid", str(grid), *(extra or [])],
            os.path.join(root, "gen.log"))
 
 

@@ -254,6 +254,11 @@ def main(argv=None):
     p.add_argument("--train_scenes", type=int, default=24)
     p.add_argument("--val_scenes", type=int, default=24)
     p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--occlusion", type=int, default=0,
+                   help="1 = generate the splits with LiDAR shadowing "
+                        "(data/synthetic.py): boxes fully hidden from one "
+                        "agent stay visible to neighbors, so the matrix "
+                        "resolves collaboration gaps instead of saturating")
     p.add_argument("--summarize", action="store_true", help="only print the table")
     p.add_argument("--extra_evals", action="store_true",
                    help="eval-only robustness rows (pose noise, late fusion) "
@@ -279,7 +284,8 @@ def main(argv=None):
 
     gen_synthetic("tools/det/create_data_det.py", args.root, args.grid,
                   {"train": args.train_scenes, "val": args.val_scenes},
-                  args.frames)
+                  args.frames,
+                  extra=["--occlusion", "1"] if args.occlusion else None)
     # upperbound first within each seed: disco_kd needs its checkpoint
     order = sorted(args.configs, key=lambda c: (c != "upperbound"))
     for seed in args.seeds:

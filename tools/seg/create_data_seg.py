@@ -42,6 +42,9 @@ def main(argv=None):
     p.add_argument("--scenes", type=int, default=8, help="synthetic: number of scenes")
     p.add_argument("--frames", type=int, default=10, help="synthetic: frames per scene")
     p.add_argument("--seed", type=int, default=None, help="synthetic: rng seed (default: by split)")
+    p.add_argument("--occlusion", type=int, default=0,
+                   help="synthetic: 1 = LiDAR shadowing (closer vehicles occlude farther "
+                        "ones per agent, so some gt boxes are visible only to neighbors)")
     p.add_argument("--grid", type=int, default=256)
     p.add_argument("--version", type=str, default="v2.0-mini", help="nuscenes: release version string")
     p.add_argument("--sweeps", type=int, default=1, help="nuscenes: LiDAR sweeps to aggregate per frame")
@@ -84,7 +87,8 @@ def main(argv=None):
 
     seed = args.seed if args.seed is not None else {"train": 0, "val": 10_000, "test": 20_000}[args.split]
     n_files, n_frames = generate_dataset(
-        out, cfg, num_scenes=args.scenes, frames_per_scene=args.frames, seed=seed
+        out, cfg, num_scenes=args.scenes, frames_per_scene=args.frames, seed=seed,
+        occlusion=bool(args.occlusion),
     )
     print(f"wrote {n_files} agent-frames ({n_frames} scene-frames) under {out}")
 
