@@ -7,6 +7,8 @@ the checkpoint bridge (SURVEY.md §5.5, VERDICT r1 #2).
 """
 
 from disconet_tpu.compat.torch_ref import (  # noqa: F401
+    AgentWiseWeightedFusionTorch,
+    CatFusionTorch,
     DiscoNetTorch,
     FaFNetTorch,
     V2VNetTorch,

@@ -405,6 +405,106 @@ class When2comTorch(nn.Module):
         )
 
 
+class CatFusionTorch(nn.Module):
+    """Reference CatFusion (SURVEY.md C18): concatenate all sender maps in
+    fixed slot order (zeros for absent agents), project back to C with a 3x3
+    ConvBNRelu named ``cat_proj`` — the only naive fusion with parameters that
+    are not shared with FaFNet."""
+
+    def __init__(self, config: Config, num_slots: int, layer: int = 3):
+        super().__init__()
+        self.config = config
+        self.layer = layer
+        Z = config.grid_size[2]
+        self.stpn = STPNTorch(Z, config.backbone_channels, config.head_channels)
+        self.heads = HeadsTorch(
+            config.head_channels, config.num_anchors, config.num_classes,
+            config.box_code_size,
+        )
+        ck = config.backbone_channels[min(layer, len(config.backbone_channels) - 1)]
+        # cin tracks the padded agent-slot count of the data it was trained on
+        self.cat_proj = ConvBNReluTorch(num_slots * ck, ck, kernel=3)
+
+    def forward(self, bev: torch.Tensor, trans: np.ndarray, agent_mask: np.ndarray):
+        B, A, H, W, Z = bev.shape
+        x = bev.reshape(B * A, H, W, Z).permute(0, 3, 1, 2).contiguous()
+        feats = self.stpn.encode(x)
+        k = self.layer
+        fk = feats[k].reshape((B, A) + feats[k].shape[1:])  # (B, A, C, h, w)
+        extents = self.config.area_extents[:2]
+
+        fused = torch.zeros_like(fk)
+        for b in range(B):
+            present = [j for j in range(A) if agent_mask[b, j]]
+            for i in present:
+                slots = [
+                    warp_to_receiver(fk[b, j], trans[b, i, j], extents)
+                    if agent_mask[b, j] else torch.zeros_like(fk[b, i])
+                    for j in range(A)
+                ]
+                fused[b, i] = self.cat_proj(torch.cat(slots, dim=0)[None])[0]
+
+        feats = list(feats)
+        feats[k] = fused.reshape((B * A,) + fused.shape[2:])
+        head_in = self.stpn.decode(feats)
+        cls, reg = self.heads(head_in)
+        return (
+            cls.reshape((B, A) + cls.shape[1:]),
+            reg.reshape((B, A) + reg.shape[1:]),
+        )
+
+
+class AgentWiseWeightedFusionTorch(nn.Module):
+    """Reference AgentWiseWeightedFusion (SURVEY.md C18): one SCALAR weight
+    per sender from pooled pair features (1x1 ConvBNRelu -> global mean ->
+    Dense), softmax over present senders, weighted sum of warped maps."""
+
+    def __init__(self, config: Config, layer: int = 3):
+        super().__init__()
+        self.config = config
+        self.layer = layer
+        Z = config.grid_size[2]
+        self.stpn = STPNTorch(Z, config.backbone_channels, config.head_channels)
+        self.heads = HeadsTorch(
+            config.head_channels, config.num_anchors, config.num_classes,
+            config.box_code_size,
+        )
+        ck = config.backbone_channels[min(layer, len(config.backbone_channels) - 1)]
+        self.score_conv = ConvBNReluTorch(2 * ck, 32, kernel=1)
+        self.score_out = nn.Linear(32, 1)
+
+    def forward(self, bev: torch.Tensor, trans: np.ndarray, agent_mask: np.ndarray):
+        B, A, H, W, Z = bev.shape
+        x = bev.reshape(B * A, H, W, Z).permute(0, 3, 1, 2).contiguous()
+        feats = self.stpn.encode(x)
+        k = self.layer
+        fk = feats[k].reshape((B, A) + feats[k].shape[1:])  # (B, A, C, h, w)
+        extents = self.config.area_extents[:2]
+
+        fused = torch.zeros_like(fk)
+        for b in range(B):
+            present = [j for j in range(A) if agent_mask[b, j]]
+            for i in present:
+                warped, scores = [], []
+                for j in present:
+                    wj = warp_to_receiver(fk[b, j], trans[b, i, j], extents)
+                    pair = torch.cat([fk[b, i], wj], dim=0)[None]
+                    pooled = self.score_conv(pair).mean(dim=(2, 3))  # (1, 32)
+                    warped.append(wj)
+                    scores.append(self.score_out(pooled)[0, 0])
+                w = torch.softmax(torch.stack(scores), dim=0)  # (S,)
+                fused[b, i] = (w[:, None, None, None] * torch.stack(warped)).sum(dim=0)
+
+        feats = list(feats)
+        feats[k] = fused.reshape((B * A,) + fused.shape[2:])
+        head_in = self.stpn.decode(feats)
+        cls, reg = self.heads(head_in)
+        return (
+            cls.reshape((B, A) + cls.shape[1:]),
+            reg.reshape((B, A) + reg.shape[1:]),
+        )
+
+
 def load_pth_into_torch(model: nn.Module, path: str) -> nn.Module:
     """Load a ``save_pth`` export into the twin with strict=True — missing or
     extra keys fail loudly, making key naming a cross-framework contract."""

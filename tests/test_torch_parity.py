@@ -175,6 +175,33 @@ def test_when2com_pth_forward_parity(tmp_path, com, warp_flag):
     _assert_close(out["reg"], reg_t, mask, "reg")
 
 
+@pytest.mark.parametrize("com", ["cat", "agent"])
+def test_naive_fusion_pth_forward_parity(tmp_path, com):
+    """The two naive fusions with their own parameters (CatFusion's slot-order
+    concat projection; AgentWiseWeightedFusion's pooled scalar sender weights)
+    — completes cross-framework parity for every parameterized model family."""
+    from disconet_tpu.compat import (
+        AgentWiseWeightedFusionTorch, CatFusionTorch, load_pth_into_torch)
+    from disconet_tpu.models import build_model
+
+    bev, trans, mask = _inputs(6)
+    model = build_model(com, CFG)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(bev),
+                           jnp.asarray(trans), jnp.asarray(mask), train=False)
+    params, stats = _warm_bn(model, variables, bev, trans, mask)
+    out = model.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(bev), jnp.asarray(trans), jnp.asarray(mask),
+                      train=False)
+
+    twin = (CatFusionTorch(CFG, num_slots=A, layer=3) if com == "cat"
+            else AgentWiseWeightedFusionTorch(CFG, layer=3))
+    twin = load_pth_into_torch(twin, _export(tmp_path, params, stats))
+    with torch.no_grad():
+        cls_t, reg_t = twin(torch.from_numpy(bev), trans, mask)
+    _assert_close(out["cls"], cls_t, mask, "cls")
+    _assert_close(out["reg"], reg_t, mask, "reg")
+
+
 def test_twin_rejects_renamed_keys(tmp_path):
     """strict loading is the contract: a renamed key must fail loudly."""
     from disconet_tpu.compat import FaFNetTorch, load_pth_into_torch
