@@ -4,6 +4,8 @@ from disconet_tpu.training.det_module import (  # noqa: F401
     DetTrainState,
     create_train_state,
     make_train_step,
+    make_train_step_multi,
+    stack_host_batches,
     make_eval_step,
     make_predict_step,
     batch_to_device,

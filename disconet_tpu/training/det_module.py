@@ -218,6 +218,56 @@ def make_train_step(
     return jax.jit(train_step, donate_argnums=(0,))
 
 
+def make_train_step_multi(
+    model,
+    config: Config,
+    teacher=None,
+    kd_flag: bool = False,
+    kd_from_cache: bool = False,
+) -> Callable:
+    """K optimizer steps per device dispatch: ``lax.scan`` of the single step
+    over a stacked batch (every leaf gains a leading K axis; see
+    :func:`stack_host_batches`).
+
+    Why: each jitted call over the axon tunnel pays a dispatch round trip. At
+    the full 256^2 geometry the step's compute (~127 ms) hides it, but the
+    64-grid quality-matrix cells are RTT-bound — thousands of tiny steps
+    serialized on the wire. Scanning K steps inside one XLA program pays one
+    round trip (and one transfer) per K steps, with semantics identical to K
+    sequential calls: state (params, optimizer, BN running stats) is threaded
+    through the scan. Equality with the sequential path is unit-tested at the
+    step level in f32 (`test_multi_step_dispatch_matches_sequential`); exact
+    long-horizon bit-equality across the two paths is NOT expected — they are
+    different XLA programs, so near-zero f32/bf16 gradient components can
+    round differently, which chaotic training dynamics then amplify (and Adam
+    turns any sign flip of a tiny gradient into a full ±lr step).
+
+    Returns metrics stacked per step, shape (K,) per leaf — callers log the
+    last row.
+    """
+    base = make_train_step(model, config, teacher=teacher, kd_flag=kd_flag,
+                           kd_from_cache=kd_from_cache)
+    # scan over the UNJITTED body: nesting jit inside scan is fine but
+    # pointless; grab the wrapped function to avoid double tracing.
+    body = getattr(base, "__wrapped__", base)
+
+    def multi_step(state: DetTrainState, batches, teacher_vars=None):
+        def scan_body(st, batch):
+            return body(st, batch, teacher_vars)
+
+        return jax.lax.scan(scan_body, state, batches)
+
+    return jax.jit(multi_step, donate_argnums=(0,))
+
+
+def stack_host_batches(batches) -> Dict[str, np.ndarray]:
+    """Stack K same-shaped host batch dicts into one superbatch for
+    :func:`make_train_step_multi` (array leaves only — list-valued keys like
+    ``gt_boxes`` never ship to device and are dropped)."""
+    keys = [k for k in batches[0] if isinstance(batches[0][k], np.ndarray)]
+    return {k: np.stack([b[k] for b in batches]) for k in keys}
+
+
 def teacher_feat_bytes(
     teacher, teacher_vars, config: Config, n_frames: int, dtype=jnp.bfloat16,
     batch_size: int = 1,

@@ -414,3 +414,69 @@ def test_sparse_dense_loss_equivalence():
     np.testing.assert_allclose(
         float(m_dense["reg_loss"]), float(m_sparse["reg_loss"]), rtol=1e-6
     )
+
+
+def test_multi_step_dispatch_matches_sequential():
+    """make_train_step_multi (lax.scan of K steps per device call, the
+    tunnel-RTT amortization for small-grid training) threads state like K
+    sequential make_train_step calls: per-step losses agree.
+
+    Checked in f32 with SGD: the scan and the per-step jit are DIFFERENT XLA
+    programs, so reductions round differently at the ULP level and the
+    chaotic training dynamics (BN + focal) amplify that by ~100x per step —
+    measured: step-2 loss differs ~4e-7 relative in f32 (9e-5 in bf16, where
+    Adam would further turn tiny-gradient sign flips into full ±lr steps).
+    A semantic bug (wrong batch order, mask, or stats threading) shifts the
+    step-2 loss at the 1e-2 level, far above the 1e-4 gate used here."""
+    import optax
+
+    from disconet_tpu.training import make_train_step_multi, stack_host_batches
+
+    cfg32 = tiny_config(32, compute_dtype="float32")
+    K = 3
+    batches = [_batch(seed=s) for s in range(K)]
+    model = build_model("disco", cfg32)
+
+    def sgd_state():
+        st = create_train_state(model, cfg32, jax.random.PRNGKey(0), batches[0])
+        tx = optax.sgd(1e-2)
+        return st.replace(tx=tx, opt_state=tx.init(st.params))
+
+    state_a = sgd_state()
+    step1 = make_train_step(model, cfg32)
+    seq_losses = []
+    for b in batches:
+        state_a, m_a = step1(state_a, batch_to_device(b), None)
+        seq_losses.append(float(m_a["loss"]))
+
+    state_b = sgd_state()
+    stepk = make_train_step_multi(model, cfg32)
+    stacked = batch_to_device(stack_host_batches(batches))
+    state_b, m_b = stepk(state_b, stacked, None)
+    scan_losses = np.asarray(m_b["loss"])  # stacked per step, (K,)
+
+    assert scan_losses.shape == (K,)
+    # step 1: same init, same batch -> identical forward
+    assert seq_losses[0] == float(scan_losses[0])
+    # steps 2..K: agreement up to program-variant float noise
+    np.testing.assert_allclose(scan_losses, np.asarray(seq_losses), rtol=1e-4)
+    # BN running stats threaded through the scan too
+    for xa, xb in zip(jax.tree_util.tree_leaves(state_a.batch_stats),
+                      jax.tree_util.tree_leaves(state_b.batch_stats)):
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xb), rtol=1e-3,
+                                   atol=1e-5)
+
+
+def test_multi_step_k1_forward_identical():
+    """A K=1 dispatch computes the identical loss to the single-step path
+    (same batch, same init) — forward semantics unchanged by the scan."""
+    from disconet_tpu.training import make_train_step_multi, stack_host_batches
+
+    b = _batch(seed=0)
+    model = build_model("disco", CFG)
+    sa = create_train_state(model, CFG, jax.random.PRNGKey(0), b, lr=1e-3)
+    sb = create_train_state(model, CFG, jax.random.PRNGKey(0), b, lr=1e-3)
+    _, ma = make_train_step(model, CFG)(sa, batch_to_device(b), None)
+    _, mb = make_train_step_multi(model, CFG)(
+        sb, batch_to_device(stack_host_batches([b])), None)
+    assert float(ma["loss"]) == float(np.asarray(mb["loss"]).reshape(-1)[-1])

@@ -102,7 +102,10 @@ def run_cell(name, seed, args, results, out_path):
              "--logpath", logpath,
              # final-epoch checkpoint only: per-epoch orbax+pth export measured
              # ~8 s/epoch of host I/O — 77% of a cell's wall time at 64-grid
-             "--ckpt_every", str(args.nepoch), "--ckpt_keep", "1"], log_file))
+             "--ckpt_every", str(args.nepoch), "--ckpt_keep", "1",
+             # 8 optimizer steps per device dispatch: 64-grid cells are
+             # tunnel-RTT-bound (measured 75.9 -> 263.7 scenes/s, 3.5x)
+             "--steps_per_dispatch", "8"], log_file))
     cell = with_retries(f"{key} eval", lambda: run_eval(
         name, resume, [], args, logpath, log_file))
     if trained:  # on a resumed cell t0-to-now is eval time, not training

@@ -37,7 +37,9 @@ from disconet_tpu.training import (
     batch_to_device,
     create_train_state,
     make_train_step,
+    make_train_step_multi,
     prefetch_to_device,
+    stack_host_batches,
 )
 from disconet_tpu.training.checkpoint import load_pth, save_pth
 
@@ -70,6 +72,11 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save_pth", type=int, default=1, help="also export epoch_N.pth (compat)")
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help="optimizer steps per device call (lax.scan over K "
+                        "stacked batches) — hides the tunnel round trip when "
+                        "the per-step compute is small (e.g. 64-grid cells); "
+                        "semantics identical to K sequential steps")
     p.add_argument("--profile", type=int, default=0,
                    help="trace N steady-state steps to {logpath}/profile (SURVEY.md 5.2)")
     p.add_argument("--debug_nans", type=int, default=0, help="jax_debug_nans CI smoke mode")
@@ -123,6 +130,12 @@ def load_student_ckpt(args, state):
                 start_epoch = epoch
                 print(f"auto-resumed from epoch {epoch} at {auto_dir}")
     return state, start_epoch
+
+
+def _metrics_floats(metrics):
+    """Step metrics -> python floats; multi-step dispatch stacks per-step
+    values (K,) per key, in which case log the last step's."""
+    return {k: float(np.asarray(v).reshape(-1)[-1]) for k, v in metrics.items()}
 
 
 def main(argv=None):
@@ -219,20 +232,38 @@ def main(argv=None):
             print(f"KD cache disabled: table would be {nbytes / 2**30:.2f} GiB "
                   f"> --kd_cache_gb {args.kd_cache_gb}; re-forwarding per step")
 
-    train_step = make_train_step(model, cfg, teacher=teacher,
-                                 kd_flag=bool(args.kd_flag),
-                                 kd_from_cache=kd_from_cache)
+    K = max(1, args.steps_per_dispatch)
+    if K > 1 and multi:
+        raise SystemExit("--steps_per_dispatch > 1 is single-device only "
+                         "(the mesh path shards per-batch)")
+    step_kwargs = dict(teacher=teacher, kd_flag=bool(args.kd_flag),
+                       kd_from_cache=kd_from_cache)
+    train_step = (make_train_step_multi(model, cfg, **step_kwargs) if K > 1
+                  else make_train_step(model, cfg, **step_kwargs))
 
     import functools
 
     to_device = functools.partial(shard_batch, mesh=mesh) if multi else batch_to_device
 
     def host_batches():
-        for batch in loader:
-            if not args.kd_flag or kd_from_cache:  # skip the dead host->device copy
-                batch.pop("bev_teacher", None)
-                batch.pop("bev_teacher_packed", None)
-            yield batch
+        def plain():
+            for batch in loader:
+                if not args.kd_flag or kd_from_cache:  # skip the dead copy
+                    batch.pop("bev_teacher", None)
+                    batch.pop("bev_teacher_packed", None)
+                yield batch
+
+        if K == 1:
+            yield from plain()
+            return
+        group = []  # group K host batches into one stacked dispatch
+        for b in plain():
+            group.append(b)
+            if len(group) == K:
+                yield stack_host_batches(group)
+                group = []
+        if group:  # epoch tail: a shorter scan (one extra compile)
+            yield stack_host_batches(group)
 
     step = 0
     profiler_span = None
@@ -248,17 +279,18 @@ def main(argv=None):
                 profiler_span = trace(os.path.join(logdir, "profile"))
                 profiler_span.__enter__()
             state, metrics = train_step(state, dev_batch, teacher_vars)
-            step += 1
+            # with K > 1 a dispatch advances by its scan length (tail may be short)
+            step += (next(iter(dev_batch.values())).shape[0] if K > 1 else 1)
             if profiler_span is not None and step == 2 + args.profile:
                 jax.tree_util.tree_map(lambda x: x.block_until_ready(), metrics)
                 profiler_span.__exit__(None, None, None)
                 profiler_span = None
                 print(f"profiler trace written to {os.path.join(logdir, 'profile')}")
             if step % args.log_every == 0:
-                last = {k: float(v) for k, v in metrics.items()}
+                last = _metrics_floats(metrics)
                 logger.write(step, last, prefix=f"epoch {epoch}")
         if not last:
-            last = {k: float(v) for k, v in metrics.items()}
+            last = _metrics_floats(metrics)
         dt = time.time() - t_ep
         sps = len(loader) * args.batch / dt
         logger.write(step, {**last, "scenes_per_sec": sps}, prefix=f"epoch {epoch} done")
