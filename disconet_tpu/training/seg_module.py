@@ -61,6 +61,19 @@ def make_seg_train_step(model, config: Config) -> Callable:
     return jax.jit(train_step, donate_argnums=(0,))
 
 
+def make_seg_train_step_multi(model, config: Config) -> Callable:
+    """K seg steps per device dispatch — the seg analog of
+    ``det_module.make_train_step_multi`` (same RTT rationale and the same
+    scan-threading semantics; metrics come back stacked per step)."""
+    base = make_seg_train_step(model, config)
+    body = getattr(base, "__wrapped__", base)
+
+    def multi_step(state: DetTrainState, batches):
+        return jax.lax.scan(lambda st, b: body(st, b), state, batches)
+
+    return jax.jit(multi_step, donate_argnums=(0,))
+
+
 def make_seg_predict_step(model, config: Config) -> Callable:
     def predict(state: DetTrainState, batch):
         out = model.apply(

@@ -18,6 +18,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 import jax
+import numpy as np
 
 from disconet_tpu.config import Config, tiny_config
 from disconet_tpu.data import BatchIterator, V2XSimSeg
@@ -47,6 +48,10 @@ def parse_args(argv=None):
     p.add_argument("--grid", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help="optimizer steps per device call (lax.scan over K "
+                        "stacked batches) — hides the tunnel round trip on "
+                        "small grids; semantics = K sequential steps")
     p.add_argument("--ckpt_every", type=int, default=1, help="save checkpoints every N epochs")
     p.add_argument("--ckpt_keep", type=int, default=5,
                    help="orbax checkpoints retained (0 = keep all)")
@@ -83,19 +88,42 @@ def main(argv=None):
             start_epoch = e or 0
 
     logger = MetricLogger(logdir, log=args.log)
-    train_step = make_seg_train_step(model, cfg)
-    from disconet_tpu.training import batch_to_device
+    K = max(1, args.steps_per_dispatch)
+    if K > 1:
+        from disconet_tpu.training.seg_module import make_seg_train_step_multi
+
+        train_step = make_seg_train_step_multi(model, cfg)
+    else:
+        train_step = make_seg_train_step(model, cfg)
+    from disconet_tpu.training import batch_to_device, stack_host_batches
+
+    def host_groups():
+        if K == 1:
+            yield from loader
+            return
+        group = []
+        for b in loader:
+            group.append(b)
+            if len(group) == K:
+                yield stack_host_batches(group)
+                group = []
+        if group:  # epoch tail: shorter scan, one extra compile
+            yield stack_host_batches(group)
+
+    def _floats(metrics):
+        # multi-step dispatch stacks per-step values; log the last step's
+        return {k: float(np.asarray(v).reshape(-1)[-1]) for k, v in metrics.items()}
 
     step = 0
     for epoch in range(start_epoch + 1, args.nepoch + 1):
         t0 = time.time()
-        for batch in loader:
+        for batch in host_groups():
             dev = batch_to_device(batch)  # ships seg_label + bit-packed bev
             state, metrics = train_step(state, dev)
-            step += 1
+            step += (next(iter(dev.values())).shape[0] if K > 1 else 1)
             if step % args.log_every == 0:
-                logger.write(step, {k: float(v) for k, v in metrics.items()}, prefix=f"epoch {epoch}")
-        logger.write(step, {**{k: float(v) for k, v in metrics.items()},
+                logger.write(step, _floats(metrics), prefix=f"epoch {epoch}")
+        logger.write(step, {**_floats(metrics),
                             "scenes_per_sec": len(loader) * args.batch / (time.time() - t0)},
                      prefix=f"epoch {epoch} done")
         if epoch % args.ckpt_every == 0 or epoch == args.nepoch:
