@@ -508,7 +508,7 @@ class AgentWiseWeightedFusionTorch(nn.Module):
 def load_pth_into_torch(model: nn.Module, path: str) -> nn.Module:
     """Load a ``save_pth`` export into the twin with strict=True — missing or
     extra keys fail loudly, making key naming a cross-framework contract."""
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
     sd = ckpt.get("model_state_dict", ckpt)
     # torch tracks num_batches_tracked per BN; the flax export has no such
     # counter (it only matters in torch's momentum=None mode, unused here)

@@ -207,7 +207,9 @@ def load_pth(path: str, params_template, batch_stats_template=None) -> Tuple[Any
     """
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    # the export is a plain tensor state_dict; weights_only avoids executing
+    # pickled code from an untrusted reference-format .pth (ADVICE r2)
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
     sd = ckpt.get("model_state_dict", ckpt)
     sd = {k: v.detach().cpu().numpy() for k, v in sd.items()}
 

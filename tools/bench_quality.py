@@ -120,9 +120,14 @@ def run_eval(base, resume, test_extra, args, logpath, log_file):
     # --batch 4: at batch 1 each val frame pays its own tunnel round trips
     # (~7 min for 192 frames vs ~2); mAP accumulation is per-frame so batching
     # only moves f32 LSBs (the batch-shape caveat of test_cli_integration.py)
+    # strip --kd_flag positionally (flag + its value); a membership filter
+    # on the token "1" would also eat other flags' values (ADVICE r2)
+    flags = list(CONFIGS[base])
+    if "--kd_flag" in flags:
+        i = flags.index("--kd_flag")
+        del flags[i:i + 2]
     test_cmd = [sys.executable, "tools/det/test_codet.py",
-                "--data", os.path.join(args.root, "val"), *[
-                    f for f in CONFIGS[base] if f not in ("--kd_flag", "1")],
+                "--data", os.path.join(args.root, "val"), *flags,
                 "--resume", resume, "--grid", str(args.grid), "--batch", "4",
                 "--logpath", logpath, *test_extra]
     stdout = sh(test_cmd, log_file, capture=True)
@@ -174,14 +179,19 @@ def run_track_evals(args, results, out_path):
                 print(f"[miss] {key}: no {resume}")
                 continue
             log_file = os.path.join(logpath, f"{base}+track.log")
-            # test_codet writes {logpath}/{mode}/{with_rsu}/{split}/det_dumps;
-            # mode strips the _kd suffix
+            # test_codet writes {logpath}/{mode}/{with_rsu}/{split}/det_dumps
+            # and mode strips the _kd suffix, so disco and disco_kd would
+            # share (and cross-contaminate) one dump dir; give every config
+            # its own tracking logpath instead (ADVICE r2 medium)
             mode = "disco" if base.startswith("disco") else base
+            track_logpath = os.path.join(logpath, "track", base)
 
             def _pipeline():
-                run_eval(base, resume, ["--tracking", "--split", "val"],
+                run_eval(base, resume,
+                         ["--tracking", "--split", "val",
+                          "--logpath", track_logpath],
                          args, logpath, log_file)
-                dumps = os.path.join(logpath, mode, "with_rsu", "val",
+                dumps = os.path.join(track_logpath, mode, "with_rsu", "val",
                                      "det_dumps")
                 tracks = os.path.join(os.path.dirname(dumps), "tracks")
                 sh([sys.executable, "tools/track/sort.py",

@@ -199,6 +199,13 @@ def main(argv=None):
         rsu_dir = "with_rsu" if args.rsu else "no_rsu"
         det_dir = os.path.join(args.logpath, mode, rsu_dir, args.split, "det_dumps")
         os.makedirs(det_dir, exist_ok=True)
+        # purge stale dumps: files are only written for (agent, scene) pairs
+        # with >=1 detection, so leftovers from a previous run with the same
+        # logpath would leak into SORT/CLEAR-MOT scores (ADVICE r2 medium)
+        import glob
+
+        for stale in glob.glob(os.path.join(det_dir, "det_agent*_scene*.txt")):
+            os.remove(stale)
         for (a, scene), rows in track_rows.items():
             path = os.path.join(det_dir, f"det_agent{a}_scene{scene}.txt")
             with open(path, "w") as f:

@@ -281,7 +281,10 @@ def main(argv=None):
             state, metrics = train_step(state, dev_batch, teacher_vars)
             # with K > 1 a dispatch advances by its scan length (tail may be short)
             step += (next(iter(dev_batch.values())).shape[0] if K > 1 else 1)
-            if profiler_span is not None and step == 2 + args.profile:
+            # >= not ==: with --steps_per_dispatch K>1 `step` advances by K,
+            # so equality can jump past the threshold and the trace would
+            # silently span the whole run (ADVICE r2)
+            if profiler_span is not None and step >= 2 + args.profile:
                 jax.tree_util.tree_map(lambda x: x.block_until_ready(), metrics)
                 profiler_span.__exit__(None, None, None)
                 profiler_span = None
