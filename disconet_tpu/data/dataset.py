@@ -120,6 +120,9 @@ class V2XSimDet:
         trans = np.tile(np.eye(4, dtype=np.float32), (MA, MA, 1, 1))
         agent_mask = np.zeros((MA,), bool)
         gt_boxes: List[np.ndarray] = [np.zeros((0, 5), np.float32)] * MA
+        gt_classes: List[np.ndarray] = [np.zeros((0,), np.int32)] * MA
+        if C > 2:  # per-positive class ids for the sparse on-device labels
+            pos_cls = np.zeros((MA, P), np.int32)
 
         frames = self.index[self.keys[i]]
         for slot, path in frames.items():
@@ -148,6 +151,11 @@ class V2XSimDet:
                 nz = nz[:P]
             pos_idx[slot, : len(nz)] = nz
             pos_target[slot, : len(nz)] = fr_reg.reshape(-1, code)[nz]
+            if C > 2:
+                # recover each positive's class from the stored one-hot (the
+                # npy contract carries dense labels; only positives ship)
+                lab_flat = np.asarray(fr["label_one_hot"]).reshape(-1, C)
+                pos_cls[slot, : len(nz)] = np.argmax(lab_flat[nz], axis=-1)
             if self.dense_targets:
                 label[slot] = np.asarray(fr["label_one_hot"]).astype(np.uint8)
                 reg_target[slot] = fr_reg
@@ -155,6 +163,13 @@ class V2XSimDet:
             agent_mask[slot] = True
             if self.keep_gt_boxes and "gt_boxes" in fr:
                 gt_boxes[slot] = np.asarray(fr["gt_boxes"], np.float32).reshape(-1, 5)
+                # per-gt class ids (multi-class eval); frames without the key
+                # (binary reference data) are all class 1
+                gt_classes[slot] = (
+                    np.asarray(fr["gt_classes"], np.int32).reshape(-1)
+                    if "gt_classes" in fr
+                    else np.ones((len(gt_boxes[slot]),), np.int32)
+                )
             # stored trans row j maps agent j -> THIS agent; drop the rsu column
             # offset when agent 0 was excluded so slots align.
             tm = np.asarray(fr["trans_matrices"], np.float32)
@@ -182,7 +197,10 @@ class V2XSimDet:
             "frame_idx": np.int32(i),
             "scene_frame": np.asarray(self.keys[i], np.int32),
             "gt_boxes": gt_boxes,
+            "gt_classes": gt_classes,
         }
+        if C > 2:
+            out["reg_pos_cls"] = pos_cls
         if self.dense_targets:
             out["label_one_hot"] = label
             out["reg_target"] = reg_target
@@ -239,11 +257,14 @@ class V2XSimSeg(V2XSimDet):
         }
 
 
+_RAGGED_KEYS = ("gt_boxes", "gt_classes")  # host-only, per-agent ragged lists
+
+
 def collate_det(items: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
-    """Stack scene-frames into a batch; gt_boxes stay a ragged python list."""
+    """Stack scene-frames into a batch; gt_boxes/gt_classes stay ragged lists."""
     out: Dict[str, np.ndarray] = {}
     for k in items[0]:
-        if k == "gt_boxes":
+        if k in _RAGGED_KEYS:
             out[k] = [it[k] for it in items]  # ragged, host-only (mAP eval)
         else:
             out[k] = np.stack([it[k] for it in items])
@@ -263,6 +284,8 @@ def pad_batch_to(batch: Dict[str, np.ndarray], size: int, max_agents: int) -> Di
     for k, v in list(batch.items()):
         if k == "gt_boxes":
             batch[k] = v + [[np.zeros((0, 5), np.float32)] * max_agents] * pad
+        elif k == "gt_classes":
+            batch[k] = v + [[np.zeros((0,), np.int32)] * max_agents] * pad
         else:
             batch[k] = np.concatenate([v, np.repeat(np.zeros_like(v[-1:]), pad, axis=0)])
     return batch

@@ -85,11 +85,21 @@ def _compress_value(key: str, val):
             "__packed__": np.packbits(arr.astype(bool), axis=None),
             "shape": arr.shape,
         }
-    if key in ("label_one_hot", "reg_target", "reg_loss_mask"):
+    if key == "label_one_hot":
+        # class-aware sparse one-hot: store (position, class id) of every
+        # foreground anchor — works for any num_classes (binary included)
         arr = np.asarray(val)
-        if key == "label_one_hot":
-            nz = np.nonzero(arr[..., 1] > 0.5)
-        elif key == "reg_loss_mask":
+        cls = np.argmax(arr, axis=-1)
+        nz = np.nonzero(cls > 0)
+        return {
+            "__sparse_cls__": np.stack(nz, axis=-1).astype(np.int32),
+            "cls": cls[nz].astype(np.int16),
+            "shape": arr.shape,
+            "dtype": str(arr.dtype),
+        }
+    if key in ("reg_target", "reg_loss_mask"):
+        arr = np.asarray(val)
+        if key == "reg_loss_mask":
             nz = np.nonzero(arr)
         else:
             nz = np.nonzero(np.any(arr != 0, axis=-1))
@@ -109,6 +119,14 @@ def _decompress_value(key: str, val):
         n = int(np.prod(shape))
         bits = np.unpackbits(val["__packed__"], count=n)
         return bits.reshape(shape).astype(np.float32)
+    if isinstance(val, dict) and "__sparse_cls__" in val:
+        shape = tuple(val["shape"])
+        arr = np.zeros(shape, np.float32)
+        arr[..., 0] = 1.0
+        pos = tuple(val["__sparse_cls__"].T)
+        arr[pos + (val["cls"].astype(np.int64),)] = 1.0
+        arr[pos + (np.zeros(len(val["cls"]), np.int64),)] = 0.0
+        return arr
     if isinstance(val, dict) and "__sparse__" in val:
         shape = tuple(val["shape"])
         dtype = np.dtype(val["dtype"])

@@ -31,6 +31,16 @@ from disconet_tpu.ops.boxes import box_corners_np, make_anchors
 from disconet_tpu.ops.voxelize import voxelize_occupy_np
 
 
+# class id (1-based) -> ((w_lo, w_hi), (l_lo, l_hi)) footprint ranges used by
+# the multi-class generator: car, truck/bus, motorcycle — disjoint-enough size
+# distributions that per-class AP is learnable from geometry alone
+VEHICLE_CLASS_SIZES: Tuple[Tuple[Tuple[float, float], Tuple[float, float]], ...] = (
+    ((1.7, 2.1), (3.6, 4.8)),   # 1: car (the binary task's only class)
+    ((2.2, 2.6), (6.0, 9.0)),   # 2: truck/bus
+    ((0.7, 0.9), (1.8, 2.4)),   # 3: motorcycle
+)
+
+
 def _pose_2d(x: float, y: float, yaw: float) -> np.ndarray:
     """4x4 homogeneous pose (agent -> world) for a planar agent."""
     c, s = np.cos(yaw), np.sin(yaw)
@@ -231,7 +241,17 @@ def generate_scene(
     # road band through the world, vehicles placed along it + some off-road
     road_y = rng.uniform(-0.3, 0.3) * world_half
     road_w = rng.uniform(8.0, 14.0)
-    boxes = []
+    # multi-class (config.num_classes > 2): class id -> size distribution, so
+    # classes are visually separable and a detector can actually learn them.
+    # The reference task is binary (vehicle); this extends the synthetic task
+    # to exercise the per-class NMS/mAP path end to end (SURVEY.md C8/C10).
+    C = config.num_classes
+    if C - 1 > len(VEHICLE_CLASS_SIZES):
+        raise ValueError(
+            f"synthetic generator supports at most {len(VEHICLE_CLASS_SIZES) + 1} "
+            f"classes (bg + {len(VEHICLE_CLASS_SIZES)}), got num_classes={C}"
+        )
+    boxes, classes = [], []
     for g in range(G):
         on_road = rng.uniform() < 0.7
         cx = rng.uniform(-world_half, world_half)
@@ -241,10 +261,14 @@ def generate_scene(
         else:
             cy = rng.uniform(-world_half, world_half)
             theta = rng.uniform(-np.pi, np.pi)
-        w = rng.uniform(1.7, 2.1)
-        l = rng.uniform(3.6, 4.8)
+        cls = int(rng.integers(1, C)) if C > 2 else 1
+        (w_lo, w_hi), (l_lo, l_hi) = VEHICLE_CLASS_SIZES[cls - 1]
+        w = rng.uniform(w_lo, w_hi)
+        l = rng.uniform(l_lo, l_hi)
         boxes.append([cx, cy, w, l, theta])
+        classes.append(cls)
     boxes_world = np.asarray(boxes, dtype=np.float32)
+    classes_world = np.asarray(classes, dtype=np.int32)
 
     # agents: slot 0 is the RSU (fixed, near road center); 1.. are vehicles' ego
     poses = []
@@ -267,6 +291,7 @@ def generate_scene(
 
     return {
         "boxes_world": boxes_world,
+        "classes_world": classes_world,
         "agent_poses": agent_poses,
         "points": clouds,
         "num_agents": A,
@@ -330,8 +355,14 @@ def scene_to_frames(scene: Dict, config: Config, anchors: np.ndarray | None = No
         )
         track_ids = np.nonzero(inside)[0].astype(np.int32)  # world box index = identity
         boxes_i = boxes_i[inside]
+        classes_i = np.asarray(
+            scene.get("classes_world", np.ones(len(inside), np.int32))
+        )[inside].astype(np.int32)
 
-        tgt = assign_targets(boxes_i, config, anchors=anchors)
+        tgt = assign_targets(
+            boxes_i, config, anchors=anchors,
+            gt_classes=classes_i if config.num_classes > 2 else None,
+        )
 
         trans = np.zeros((MA, 4, 4), dtype=np.float32)
         for j in range(A):
@@ -357,6 +388,7 @@ def scene_to_frames(scene: Dict, config: Config, anchors: np.ndarray | None = No
                 "vis_maps": bev.max(axis=-1).astype(np.float32),
                 "gt_max_iou": tgt["gt_max_iou"],
                 "gt_boxes": boxes_i.astype(np.float32),
+                "gt_classes": classes_i,
                 "gt_track_ids": track_ids,
                 "target_agent_id": np.int32(i),
                 "num_agent": np.int32(A),

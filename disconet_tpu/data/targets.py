@@ -30,8 +30,18 @@ from disconet_tpu.ops.boxes import encode_boxes_np, make_anchors
 from disconet_tpu.ops.rotated_iou import rotated_iou_pairs_np
 
 
-def assign_targets(gt_boxes: np.ndarray, config: Config, anchors: np.ndarray | None = None) -> Dict[str, np.ndarray]:
+def assign_targets(
+    gt_boxes: np.ndarray,
+    config: Config,
+    anchors: np.ndarray | None = None,
+    gt_classes: np.ndarray | None = None,
+) -> Dict[str, np.ndarray]:
     """Assign gt boxes (G, 5) to anchors -> detection training targets.
+
+    ``gt_classes`` (G,) int class ids in 1..num_classes-1 routes each positive
+    anchor's one-hot to its gt's class column (multi-class det, SURVEY.md
+    C20/§4.2); omitted = every gt is class 1 (the reference's binary vehicle
+    task).
 
     Returns dict with keys label_one_hot (H,W,A,C), reg_target (H,W,A,6),
     reg_loss_mask (H,W,A) bool, gt_max_iou (G,2), anchors_map (H,W,A,6).
@@ -110,8 +120,16 @@ def assign_targets(gt_boxes: np.ndarray, config: Config, anchors: np.ndarray | N
             reg_target[pos_idx] = encode_boxes_np(matched, flat_anchors[pos_idx]).astype(
                 np.float32
             )
+            if gt_classes is None:
+                cls_col = np.ones(pos_idx.size, dtype=np.int64)
+            else:
+                cls_col = np.asarray(gt_classes, np.int64).reshape(-1)[best_gt[pos_idx]]
+                if cls_col.min(initial=1) < 1 or cls_col.max(initial=1) >= C:
+                    raise ValueError(
+                        f"gt_classes must be in [1, {C - 1}] for num_classes={C}"
+                    )
             label[pos_idx, 0] = 0.0
-            label[pos_idx, 1] = 1.0
+            label[pos_idx, cls_col] = 1.0
 
     anchors_map6 = np.concatenate(
         [

@@ -111,3 +111,40 @@ def eval_map(
         "recall": float(recalls[-1]) if len(recalls) else 0.0,
         "precision": float(precisions[-1]) if len(precisions) else 0.0,
     }
+
+
+def eval_map_multiclass(
+    det_results: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray]],
+    annotations: Sequence[Tuple[np.ndarray, np.ndarray]],
+    iou_thr: float = 0.5,
+    num_classes: int = 2,
+) -> Tuple[float, dict]:
+    """Per-class mAP (mmdet-v1 semantics: mean over classes with >=1 gt).
+
+    The reference's ``predict_all`` runs per-class NMS and ``mean_ap`` scores
+    each class independently (SURVEY.md C10); this is the same protocol over
+    the rebuild's labeled detections.
+
+    Args:
+        det_results: per frame, (boxes (N,5), scores (N,), labels (N,) int
+            class ids in 1..num_classes-1).
+        annotations: per frame, (gt boxes (M,5), gt classes (M,)).
+        iou_thr: rotated-BEV IoU threshold.
+    Returns:
+        (mean_ap, details) — details has per-class ``ap``/``num_gts``/
+        ``num_dets`` dicts plus the summed counts so binary callers' table
+        code keeps working.
+    """
+    per_class: dict = {}
+    for c in range(1, num_classes):
+        dets_c = [(b[l == c], s[l == c]) for b, s, l in det_results]
+        gts_c = [g[gc == c] for g, gc in annotations]
+        ap, d = eval_map(dets_c, gts_c, iou_thr=iou_thr)
+        per_class[c] = {"ap": ap, **d}
+    with_gt = [c for c, d in per_class.items() if d["num_gts"] > 0]
+    mean = float(np.mean([per_class[c]["ap"] for c in with_gt])) if with_gt else 0.0
+    return mean, {
+        "per_class": per_class,
+        "num_gts": int(sum(d["num_gts"] for d in per_class.values())),
+        "num_dets": int(sum(d["num_dets"] for d in per_class.values())),
+    }

@@ -113,9 +113,23 @@ def _losses(out, batch, config: Config, teacher_out=None):
         def scatter_pos(flat_idx):  # (P,) -> (n_flat,)
             return jnp.zeros((n_flat,), jnp.float32).at[flat_idx].set(1.0, mode="drop")
 
-        pos = jax.vmap(jax.vmap(scatter_pos))(idx)  # (B, A, n_flat)
-        pos = pos.reshape(B, A, H, W, NA)
-        label_one_hot = jnp.stack([1.0 - pos, pos], axis=-1)
+        if "reg_pos_cls" in batch:  # multi-class: scatter class ids, then one-hot
+            cls_ids = batch["reg_pos_cls"].astype(jnp.int32)  # (B, A, P)
+
+            def scatter_cls(flat_idx, ids):  # (P,),(P,) -> (n_flat,) int
+                return (
+                    jnp.zeros((n_flat,), jnp.int32).at[flat_idx].set(ids, mode="drop")
+                )
+
+            cls_map = jax.vmap(jax.vmap(scatter_cls))(idx, cls_ids)
+            C = out["cls"].shape[-1]
+            label_one_hot = jax.nn.one_hot(
+                cls_map.reshape(B, A, H, W, NA), C, dtype=jnp.float32
+            )
+        else:
+            pos = jax.vmap(jax.vmap(scatter_pos))(idx)  # (B, A, n_flat)
+            pos = pos.reshape(B, A, H, W, NA)
+            label_one_hot = jnp.stack([1.0 - pos, pos], axis=-1)
         cls_loss = softmax_focal_loss(
             out["cls"], label_one_hot, gamma=config.focal_gamma, mask=cls_mask
         )
@@ -496,6 +510,7 @@ _DEVICE_KEYS = (
     "reg_mask",
     "reg_pos_idx",
     "reg_pos_target",
+    "reg_pos_cls",
     "seg_label",
     "trans",
     "agent_mask",

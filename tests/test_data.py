@@ -271,3 +271,72 @@ class TestOcclusion:
         student = np.unpackbits(item["bev_packed"].view(np.uint8)).sum()
         teacher = np.unpackbits(item["bev_teacher_packed"].view(np.uint8)).sum()
         assert teacher > student
+
+
+class TestMultiClass:
+    """Multi-class det data path (VERDICT r2 #5): class-routed targets, the
+    generator's size-separable classes, and the loader's sparse class ids."""
+
+    def test_assign_targets_routes_class_columns(self):
+        cfg = tiny_config(32, num_classes=4)
+        gt = np.array([[1.0, 1.0, 2.0, 4.0, 0.3], [-2.0, -2.0, 2.4, 7.0, 1.0]])
+        tgt = assign_targets(gt, cfg, gt_classes=np.array([2, 3]))
+        lab = tgt["label_one_hot"].reshape(-1, 4)
+        pos = tgt["reg_loss_mask"].reshape(-1)
+        assert set(np.unique(np.argmax(lab[pos], -1))) <= {2, 3}
+        # background rows untouched
+        assert (lab[~pos, 0] == 1.0).all()
+
+    def test_assign_targets_rejects_out_of_range_class(self):
+        cfg = tiny_config(32, num_classes=3)
+        gt = np.array([[1.0, 1.0, 2.0, 4.0, 0.3]])
+        with pytest.raises(ValueError):
+            assign_targets(gt, cfg, gt_classes=np.array([3]))  # >= num_classes
+
+    def test_generator_emits_classes_and_loader_recovers_them(self, tmp_path):
+        cfg = tiny_config(32, num_classes=4)
+        generate_dataset(str(tmp_path), cfg, num_scenes=2, frames_per_scene=1,
+                         seed=3, num_agents=2)
+        ds = V2XSimDet(str(tmp_path), cfg, rsu=True, dense_targets=True)
+        assert len(ds) == 2
+        item = ds[0]
+        assert "reg_pos_cls" in item and "gt_classes" in item
+        MA = cfg.max_agents
+        # dense label is (MA, H, W, num_anchors, C): flat anchor count is
+        # the product of the three middle dims
+        n_flat = int(np.prod(item["label_one_hot"].shape[1:4]))
+        for a in range(MA):
+            if not item["agent_mask"][a]:
+                continue
+            # sparse class ids == dense label argmax at the positive indices
+            idx = item["reg_pos_idx"][a]
+            live = idx < n_flat
+            lab_flat = item["label_one_hot"][a].reshape(-1, cfg.num_classes)
+            np.testing.assert_array_equal(
+                item["reg_pos_cls"][a][live],
+                np.argmax(lab_flat[idx[live]], axis=-1),
+            )
+            assert (item["reg_pos_cls"][a][live] >= 1).all()
+            # host gt lists align
+            assert len(item["gt_classes"][a]) == len(item["gt_boxes"][a])
+        # multiple classes actually present in the data
+        all_cls = np.concatenate([item["gt_classes"][a] for a in range(MA)])
+        assert len(set(all_cls.tolist())) >= 2
+
+    def test_binary_frames_default_to_class_one(self, mini_root):
+        ds = V2XSimDet(mini_root, CFG, rsu=True)
+        item = ds[0]
+        assert "reg_pos_cls" not in item  # binary: sparse labels stay 2-col
+        for a in range(CFG.max_agents):
+            assert (item["gt_classes"][a] == 1).all()
+            assert len(item["gt_classes"][a]) == len(item["gt_boxes"][a])
+
+    def test_collate_and_pad_keep_gt_classes_ragged(self, mini_root):
+        from disconet_tpu.data.dataset import pad_batch_to
+
+        ds = V2XSimDet(mini_root, CFG, rsu=True)
+        batch = collate_det([ds[0], ds[1]])
+        assert isinstance(batch["gt_classes"], list) and len(batch["gt_classes"]) == 2
+        pad_batch_to(batch, 4, CFG.max_agents)
+        assert len(batch["gt_classes"]) == 4
+        assert batch["gt_classes"][-1][0].shape == (0,)

@@ -184,3 +184,25 @@ def test_sort_two_objects_no_swap():
             id_a, id_b = int(by_y[0][6]), int(by_y[1][6])
         else:
             assert int(by_y[0][6]) == id_a and int(by_y[1][6]) == id_b
+
+
+def test_eval_map_multiclass_per_class_and_mean():
+    """Per-class scoring (reference per-class NMS + mean_ap semantics): a
+    correct box with the wrong class is a FP for its class and a miss for the
+    gt's class; classes with zero gt are excluded from the mean."""
+    from disconet_tpu.evaluation import eval_map_multiclass
+
+    box = np.array([[0.0, 0.0, 2.0, 4.0, 0.0]], np.float32)
+    score = np.array([0.9], np.float32)
+    # frame 1: class-1 gt detected as class 1 (TP); frame 2: class-2 gt
+    # detected as class 3 (FP for 3, miss for 2)
+    dets = [(box, score, np.array([1])), (box, score, np.array([3]))]
+    gts = [(box, np.array([1])), (box, np.array([2]))]
+    mean, d = eval_map_multiclass(dets, gts, iou_thr=0.5, num_classes=4)
+    per = d["per_class"]
+    assert per[1]["ap"] == 1.0 and per[1]["num_gts"] == 1
+    assert per[2]["ap"] == 0.0 and per[2]["num_gts"] == 1
+    assert per[3]["num_gts"] == 0 and per[3]["num_dets"] == 1
+    # mean over classes WITH gt only: (1.0 + 0.0) / 2
+    assert abs(mean - 0.5) < 1e-9
+    assert d["num_gts"] == 2 and d["num_dets"] == 2

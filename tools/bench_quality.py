@@ -44,11 +44,23 @@ CONFIGS = {
     "disco_norsu": ["--com", "disco", "--rsu", "0"],  # BASELINE.json config 3
     "mean": ["--com", "mean"],
     "max": ["--com", "max"],
+    # layer-2 fusion diagnostics (VERDICT r2 #1): at 64-grid, layer-3 fusion
+    # operates on 8x8 maps (2 m/cell) — likely too coarse to transport
+    # neighbor-only boxes; layer 2 fuses at 16x16, the same relative
+    # resolution as the reference's 32x32-at-256-grid default (SURVEY §4.1)
+    "disco_l2": ["--com", "disco", "--layer", "2"],
+    "disco_kd_l2": ["--com", "disco", "--kd_flag", "1", "--layer", "2"],
+    "v2v_l2": ["--com", "v2v", "--layer", "2"],
 }
 # configs whose train-CLI mode dir differs from the matrix cell name (the CLI
 # writes under {com}{_kd}; same-mode cells with different flags need their own
 # logpath subdir so checkpoints don't collide)
-MODE_DIR = {"disco_norsu": "disco"}
+MODE_DIR = {
+    "disco_norsu": "disco",
+    "disco_l2": "disco",
+    "disco_kd_l2": "disco_kd",
+    "v2v_l2": "v2v",
+}
 # eval-only robustness rows (--extra_evals): reuse a trained base
 # checkpoint, re-evaluate with extra test flags — the paper's pose-noise
 # robustness study (and late fusion) with the same seeds/error bars.
@@ -75,14 +87,16 @@ def run_cell(name, seed, args, results, out_path):
     if key in results:
         print(f"[skip] {key}: {results[key]}")
         return
-    logpath = os.path.join(args.root, "logs", f"seed{seed}")
+    base_logpath = os.path.join(args.root, "logs", f"seed{seed}")
+    logpath = base_logpath
     if name in MODE_DIR:  # own subdir: the CLI's mode dir would collide
         logpath = os.path.join(logpath, name)
     os.makedirs(logpath, exist_ok=True)
     log_file = os.path.join(logpath, f"{name}.log")
     extra = list(CONFIGS[name])
-    if name == "disco_kd":
-        teacher = os.path.join(logpath, "upperbound", f"epoch_{args.nepoch}.pth")
+    if "--kd_flag" in extra:  # any KD cell: same seed's trained upperbound
+        teacher = os.path.join(base_logpath, "upperbound",
+                               f"epoch_{args.nepoch}.pth")
         if not os.path.exists(teacher):
             raise RuntimeError(f"{key}: teacher checkpoint missing ({teacher}); "
                                "upperbound must run first for this seed")
@@ -229,8 +243,10 @@ def summarize(results, configs, seeds):
     # the paper's ordering claims (SURVEY.md §6), checked against noise
     print("\nordering checks (gap vs combined std, mAP@0.7):")
     for hi, lo in [("upperbound", "lowerbound"), ("disco_kd", "disco"),
-                   ("disco", "lowerbound"), ("v2v", "when2com"),
-                   ("disco", "disco_norsu")]:
+                   ("disco", "lowerbound"), ("disco_kd", "lowerbound"),
+                   ("v2v", "when2com"), ("disco", "disco_norsu"),
+                   ("disco_l2", "disco"), ("disco_l2", "lowerbound"),
+                   ("disco_kd_l2", "disco_kd"), ("v2v_l2", "v2v")]:
         if hi in rows and lo in rows:
             gap_vs_noise(f"{hi} - {lo}", rows[hi][1], rows[lo][1])
 

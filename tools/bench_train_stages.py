@@ -1,0 +1,229 @@
+#!/usr/bin/env python
+"""Per-stage fwd AND bwd attribution of the training step (VERDICT r2 #4).
+
+The inference pipeline has a measured roofline (tools/bench_stages.py +
+docs/performance.md); this is the train-step analog. Each pipeline prefix —
+encode | +warp/fuse | +decode | +heads+loss — is compiled twice, once
+forward-only (train=True: real BN batch stats) and once wrapped in
+``jax.value_and_grad`` with the gradients kept live via ``global_norm`` (so
+XLA cannot dead-code-eliminate the backward pass). Differencing neighbors
+gives per-stage forward cost; differencing the two rows gives per-stage
+backward cost. ``ROOFLINE=1`` additionally prints XLA cost-model flops/bytes
+per prefix (differenced the same way).
+
+Timing protocol is bench.py's: a scalar checksum fetch is the only reliable
+execution barrier across the axon tunnel (CLAUDE.md).
+
+Usage:
+    python tools/bench_train_stages.py --data /tmp/v2x_train256/train
+    ROOFLINE=1 python tools/bench_train_stages.py --data ... --steps 5
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from disconet_tpu.utils.env import setup as _env_setup
+
+_env_setup()
+
+import numpy as np
+
+STAGES = ["null", "encode", "+warp/fuse", "+decode", "+heads+loss"]
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data", type=str, required=True)
+    p.add_argument("--com", type=str, default="disco")
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--grid", type=int, default=256)
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--warmup", type=int, default=2)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from disconet_tpu.config import Config, tiny_config
+    from disconet_tpu.data import BatchIterator, V2XSimDet
+    from disconet_tpu.models import build_model
+    from disconet_tpu.models.base import agents_to_batch, batch_to_agents, warp_all_pairs
+    from disconet_tpu.training import batch_to_device, create_train_state
+    from disconet_tpu.training.det_module import _losses, get_bev
+
+    cfg = Config() if args.grid == 256 else tiny_config(args.grid)
+    dataset = V2XSimDet(args.data, cfg, rsu=True, dense_targets=False, cache_items=64)
+    loader = BatchIterator(dataset, args.batch, shuffle=True, seed=0, num_workers=0)
+    host_batch = next(iter(loader))
+    batch = batch_to_device(host_batch)
+    jax.block_until_ready(batch)
+
+    model = build_model(args.com, cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0), host_batch)
+    state = jax.device_put(state)
+    params, batch_stats = state.params, state.batch_stats
+
+    def checksum(*arrays):
+        return sum(jnp.sum(a.astype(jnp.float32)) for a in arrays)
+
+    # prefix bodies mirror the TRAIN forward (train=True, BN stats mutated) —
+    # same submodule calls as IntermediateFusionModel.__call__ (models/base.py)
+    def run_prefix(m, bev, trans, mask, upto):
+        B, A = bev.shape[0], bev.shape[1]
+        x = agents_to_batch(bev)
+        feats = m.stpn.encode(x, True)
+        if upto == 1:
+            return checksum(feats[-1])
+        k = model.layer
+        fk = batch_to_agents(feats[k], B, A)
+        warped = warp_all_pairs(fk, trans, cfg.area_extents[:2])
+        fused = m.fuse(fk, warped, mask, True, trans=trans)
+        if upto == 2:
+            return checksum(fused)
+        feats = list(feats)
+        feats[k] = agents_to_batch(fused)
+        head_in, _ = m.stpn.decode(feats, True)
+        if upto == 3:
+            return checksum(head_in)
+        cls, reg, _ = m.heads(head_in)
+        out = {
+            "cls": cls.reshape((B, A) + cls.shape[1:]),
+            "reg": reg.reshape((B, A) + reg.shape[1:]),
+        }
+        loss, _ = _losses(out, batch, cfg)
+        return loss
+
+    def prefix(p, bs, upto):
+        if upto == 0:  # dispatch + fetch floor
+            return checksum(batch["agent_mask"]), bs
+        out, mut = model.apply(
+            {"params": p, "batch_stats": bs},
+            get_bev(batch, "bev", cfg),
+            batch["trans"],
+            batch["agent_mask"],
+            method=functools.partial(run_prefix, upto=upto),
+            mutable=["batch_stats"],
+        )
+        return out, mut["batch_stats"]
+
+    def fwd_only(p, bs, upto):
+        val, new_bs = prefix(p, bs, upto)
+        return val + 0.0 * optax.global_norm(jax.tree.leaves(new_bs))
+
+    # same prefixes with eval-mode BN (use_running_average=True): the fwd
+    # delta vs train-mode isolates what batch-statistics cost — in train mode
+    # the per-conv mean/var reductions block XLA from folding BN+ReLU into the
+    # conv epilogue, so every conv output makes extra f32 HBM round trips
+    def run_prefix_eval(m, bev, trans, mask, upto):
+        B, A = bev.shape[0], bev.shape[1]
+        x = agents_to_batch(bev)
+        feats = m.stpn.encode(x, False)
+        if upto == 1:
+            return checksum(feats[-1])
+        k = model.layer
+        fk = batch_to_agents(feats[k], B, A)
+        warped = warp_all_pairs(fk, trans, cfg.area_extents[:2])
+        fused = m.fuse(fk, warped, mask, False, trans=trans)
+        if upto == 2:
+            return checksum(fused)
+        feats = list(feats)
+        feats[k] = agents_to_batch(fused)
+        head_in, _ = m.stpn.decode(feats, False)
+        if upto == 3:
+            return checksum(head_in)
+        cls, reg, _ = m.heads(head_in)
+        out = {
+            "cls": cls.reshape((B, A) + cls.shape[1:]),
+            "reg": reg.reshape((B, A) + reg.shape[1:]),
+        }
+        loss, _ = _losses(out, batch, cfg)
+        return loss
+
+    def fwd_eval_bn(p, bs, upto):
+        if upto == 0:
+            return checksum(batch["agent_mask"])
+        return model.apply(
+            {"params": p, "batch_stats": bs},
+            get_bev(batch, "bev", cfg),
+            batch["trans"],
+            batch["agent_mask"],
+            method=functools.partial(run_prefix_eval, upto=upto),
+        )
+
+    def fwd_bwd(p, bs, upto):
+        (val, _), grads = jax.value_and_grad(
+            lambda pp: prefix(pp, bs, upto), has_aux=True
+        )(p)
+        # keep every gradient live — returning val alone would let XLA erase
+        # the entire backward pass
+        return val + 0.0 * optax.global_norm(grads)
+
+    roofline = bool(os.environ.get("ROOFLINE"))
+
+    def time_row(make_fn):
+        cum, cost = [], []
+        for upto in range(len(STAGES)):
+            fn = jax.jit(functools.partial(make_fn, upto=upto))
+            if roofline:
+                compiled = fn.lower(params, batch_stats).compile()
+                ca = compiled.cost_analysis()
+                if isinstance(ca, (list, tuple)):
+                    ca = ca[0]
+                cost.append((float(ca.get("flops", 0.0)),
+                             float(ca.get("bytes accessed", 0.0))))
+                fn = compiled
+            for _ in range(args.warmup):
+                float(fn(params, batch_stats))
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                out = fn(params, batch_stats)
+            float(out)  # FIFO: syncs all steps
+            cum.append((time.perf_counter() - t0) / args.steps)
+        return cum, cost
+
+    print(f"com={args.com} grid={args.grid} batch={args.batch} "
+          f"({args.batch * cfg.max_agents} agent-frames)", flush=True)
+    cum_e, _ = time_row(fwd_eval_bn)
+    cum_f, cost_f = time_row(fwd_only)
+    cum_b, cost_b = time_row(fwd_bwd)
+
+    hdr = (f"{'stage':>14} | {'fwd(eBN)':>8} | {'fwd ms':>8} | {'fwd+bwd':>8} "
+           f"| {'bwd ms':>8}")
+    if roofline:
+        hdr += f" | {'GFLOP(fb)':>9} | {'GB(fb)':>7}"
+    print("\n" + hdr)
+    print("-" * len(hdr))
+    report = {}
+    pe = pf = pb = 0.0
+    for i, name in enumerate(STAGES):
+        e_ms = (cum_e[i] - pe) * 1e3
+        f_ms = (cum_f[i] - pf) * 1e3
+        b_ms = (cum_b[i] - pb) * 1e3
+        row = (f"{name:>14} | {e_ms:8.2f} | {f_ms:8.2f} | {b_ms:8.2f} "
+               f"| {b_ms - f_ms:8.2f}")
+        if roofline:
+            gflop = (cost_b[i][0] - (cost_b[i - 1][0] if i else 0.0)) / 1e9
+            gb = (cost_b[i][1] - (cost_b[i - 1][1] if i else 0.0)) / 1e9
+            row += f" | {gflop:9.1f} | {gb:7.2f}"
+        print(row, flush=True)
+        report[name] = {"fwd_eval_bn_ms": round(e_ms, 2),
+                        "fwd_ms": round(f_ms, 2), "fwd_bwd_ms": round(b_ms, 2)}
+        pe, pf, pb = cum_e[i], cum_f[i], cum_b[i]
+    report["total_fwd_eval_bn_ms"] = round(cum_e[-1] * 1e3, 2)
+    report["total_fwd_ms"] = round(cum_f[-1] * 1e3, 2)
+    report["total_fwd_bwd_ms"] = round(cum_b[-1] * 1e3, 2)
+    report["scenes_per_sec_fwd_bwd"] = round(args.batch / cum_b[-1], 1)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -46,6 +46,10 @@ def main(argv=None):
                    help="synthetic: 1 = LiDAR shadowing (closer vehicles occlude farther "
                         "ones per agent, so some gt boxes are visible only to neighbors)")
     p.add_argument("--grid", type=int, default=256)
+    p.add_argument("--num_classes", type=int, default=2,
+                   help="synthetic: detection classes incl. background (2 = "
+                        "binary vehicle; 3-4 adds size-separable truck/bus and "
+                        "motorcycle classes with per-gt class labels)")
     p.add_argument("--version", type=str, default="v2.0-mini", help="nuscenes: release version string")
     p.add_argument("--sweeps", type=int, default=1, help="nuscenes: LiDAR sweeps to aggregate per frame")
     p.add_argument("--scene_begin", type=int, default=None,
@@ -54,7 +58,10 @@ def main(argv=None):
                    help="nuscenes: one past the last scene index (default: by split)")
     args = p.parse_args(argv)
 
-    cfg = Config(split=args.split) if args.grid == 256 else tiny_config(args.grid, split=args.split)
+    over = {"split": args.split}
+    if args.num_classes != 2:
+        over["num_classes"] = args.num_classes
+    cfg = Config(**over) if args.grid == 256 else tiny_config(args.grid, **over)
     out = os.path.join(args.savepath, args.split)
 
     if args.mode == "nuscenes":

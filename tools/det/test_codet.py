@@ -56,6 +56,10 @@ def parse_args(argv=None):
     p.add_argument("--layer", type=int, default=3)
     p.add_argument("--warp_flag", type=int, default=1)
     p.add_argument("--grid", type=int, default=256)
+    p.add_argument("--num_classes", type=int, default=2,
+                   help="detection classes incl. background; >2 runs per-class "
+                        "NMS and prints a per-class AP table (must match the "
+                        "checkpoint's training value)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--score_threshold", type=float, default=None,
                    help="override config score threshold (default 0.3)")
@@ -71,6 +75,8 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
     over = {"fusion_layer": args.layer}
+    if args.num_classes != 2:
+        over["num_classes"] = args.num_classes
     if args.score_threshold is not None:
         over["score_threshold"] = args.score_threshold
     if args.warp_dtype:
@@ -135,9 +141,16 @@ def main(argv=None):
     )
     predictions = pipeline_one_deep(pairs, lambda hb_db: predict(state, hb_db[1]))
 
+    multiclass = cfg.num_classes > 2
+    if multiclass and args.apply_late_fusion:
+        raise SystemExit("--apply_late_fusion is binary-only (class labels "
+                         "would not survive the cross-agent merge)")
+
     n_frames = 0
     edge_dumped = False
-    for (batch, dev_batch), (boxes, scores, keep) in predictions:
+    for (batch, dev_batch), pred in predictions:
+        # multi-class predict returns a 4th element: per-box class labels
+        (boxes, scores, keep), labels = pred[:3], (pred[3] if multiclass else None)
         if args.visualization and args.com == "disco" and not edge_dumped:
             _render_edge_weights(args, cfg, model, state, batch, dev_batch)
             edge_dumped = True
@@ -161,8 +174,14 @@ def main(argv=None):
                 else:
                     k = keep[b, a]
                     d_boxes, d_scores = boxes[b, a][k], scores[b, a][k]
-                dets[a].append((d_boxes, d_scores))
-                gts[a].append(batch["gt_boxes"][b][a])
+                if multiclass:
+                    dets[a].append((d_boxes, d_scores, labels[b, a][keep[b, a]]))
+                    gts[a].append(
+                        (batch["gt_boxes"][b][a], batch["gt_classes"][b][a])
+                    )
+                else:
+                    dets[a].append((d_boxes, d_scores))
+                    gts[a].append(batch["gt_boxes"][b][a])
                 if args.tracking:
                     for bb, sc in zip(d_boxes, d_scores):
                         track_rows[(a, scene)].append(
@@ -172,7 +191,18 @@ def main(argv=None):
                     _render(args, cfg, batch, b, a, scene, frame, d_boxes, d_scores)
             n_frames += 1
 
-    # mAP table: per agent + overall (reference output format, SURVEY.md C23)
+    # mAP table: per agent + overall (reference output format, SURVEY.md C23);
+    # multi-class configs score per class (reference predict_all semantics)
+    # and add a per-class AP table below the per-agent one
+    if multiclass:
+        from disconet_tpu.evaluation import eval_map_multiclass
+
+        def _eval(d, g, thr):
+            return eval_map_multiclass(d, g, iou_thr=thr, num_classes=cfg.num_classes)
+    else:
+        def _eval(d, g, thr):
+            return eval_map(d, g, iou_thr=thr)
+
     print(f"\nEvaluated {n_frames} scene-frames, mode '{args.com or args.bound or 'lowerbound'}', rsu={args.rsu}")
     overall = {}
     header = f"{'agent':>8} | {'mAP@0.5':>8} | {'mAP@0.7':>8} | {'#gt':>6} | {'#det':>6}"
@@ -182,14 +212,23 @@ def main(argv=None):
     for a in sorted(dets):
         all_dets += dets[a]
         all_gts += gts[a]
-        ap50, d50 = eval_map(dets[a], gts[a], iou_thr=0.5)
-        ap70, _ = eval_map(dets[a], gts[a], iou_thr=0.7)
+        ap50, d50 = _eval(dets[a], gts[a], 0.5)
+        ap70, _ = _eval(dets[a], gts[a], 0.7)
         print(f"{a:>8} | {ap50:8.4f} | {ap70:8.4f} | {d50['num_gts']:>6} | {d50['num_dets']:>6}")
-    ap50, d50 = eval_map(all_dets, all_gts, iou_thr=0.5)
-    ap70, _ = eval_map(all_dets, all_gts, iou_thr=0.7)
+    ap50, d50 = _eval(all_dets, all_gts, 0.5)
+    ap70, d70 = _eval(all_dets, all_gts, 0.7)
     print("-" * len(header))
     print(f"{'average':>8} | {ap50:8.4f} | {ap70:8.4f} | {d50['num_gts']:>6} | {d50['num_dets']:>6}")
     overall["mAP@0.5"], overall["mAP@0.7"] = ap50, ap70
+
+    if multiclass:
+        header = f"{'class':>8} | {'AP@0.5':>8} | {'AP@0.7':>8} | {'#gt':>6} | {'#det':>6}"
+        print("\n" + header)
+        print("-" * len(header))
+        for c in range(1, cfg.num_classes):
+            p5, p7 = d50["per_class"][c], d70["per_class"][c]
+            print(f"{c:>8} | {p5['ap']:8.4f} | {p7['ap']:8.4f} | "
+                  f"{p5['num_gts']:>6} | {p5['num_dets']:>6}")
 
     if args.tracking:
         # README.md:86-91 layout: {logpath}/{mode}/{no_rsu|with_rsu}/{split}/

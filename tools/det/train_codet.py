@@ -69,6 +69,10 @@ def parse_args(argv=None):
                    help="inference warp dtype override (config.warp_dtype; training warps are always f32)")
     # --- rebuild extras ---
     p.add_argument("--grid", type=int, default=256, help="BEV grid cells (256 = reference)")
+    p.add_argument("--num_classes", type=int, default=2,
+                   help="detection classes incl. background (2 = reference's "
+                        "binary vehicle task; >2 trains per-class heads and "
+                        "runs per-class NMS at eval)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save_pth", type=int, default=1, help="also export epoch_N.pth (compat)")
     p.add_argument("--log_every", type=int, default=10)
@@ -101,6 +105,8 @@ def make_config(args) -> Config:
     over = dict(kd_weight=args.kd_weight, fusion_layer=args.layer)
     if getattr(args, "warp_dtype", None):
         over["warp_dtype"] = args.warp_dtype
+    if getattr(args, "num_classes", 2) != 2:
+        over["num_classes"] = args.num_classes
     return Config(**over) if args.grid == 256 else tiny_config(args.grid, **over)
 
 
