@@ -173,6 +173,18 @@ class Config:
     # sigmoid-saturation ties differently; unit-tested equal keep sets).
     packed_nms: bool = False
 
+    # Rematerialize intra-stage activations in the training backward pass
+    # (training/det_module.py): stage-boundary tensors are tagged with
+    # jax.ad_checkpoint.checkpoint_name ("stage_boundary", backbone.py /
+    # models/base.py) and the train step's forward runs under jax.checkpoint
+    # with save_only_these_names, so the backward recomputes each stage's
+    # conv/BN intermediates from its input instead of round-tripping them
+    # through HBM as saved fp32 residuals. Trades ~1x extra forward FLOPs in
+    # the backward for the residual traffic — a win iff the train step is
+    # bandwidth-bound (measure with tools/bench_train_stages.py). Exact same
+    # math re-executed; gradients identical up to reissued-op rounding.
+    train_remat: bool = False
+
     # Segmentation (SURVEY.md C3): ~8 BEV semantic classes.
     num_seg_classes: int = 8
 

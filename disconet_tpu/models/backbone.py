@@ -359,6 +359,8 @@ class STPN(nn.Module):
         in block space (feats[0] is (B, H/2, W/2, 4*C0)), and stage 1's first
         stride-2 conv consumes block space directly — no d2s on the hot path.
         """
+        from jax.ad_checkpoint import checkpoint_name
+
         from disconet_tpu.ops.blockspace import space_to_depth
 
         feats = []
@@ -372,6 +374,10 @@ class STPN(nn.Module):
                 x = self.stages[0](x, train, mode="block_out")
             else:
                 x = self.stages[i](x, train)
+            # no-op tag: under config.train_remat the train step's
+            # save_only_these_names policy keeps stage boundaries and
+            # rematerializes everything between them in the backward
+            x = checkpoint_name(x, "stage_boundary")
             feats.append(x)
         return feats
 
@@ -394,14 +400,17 @@ class STPN(nn.Module):
         kd features are the decoder outputs coarse->fine plus the head input —
         the per-pixel distillation targets (SURVEY.md §4.3).
         """
+        from jax.ad_checkpoint import checkpoint_name
+
         x = feats[-1]
         kd_feats = []
         for i in reversed(range(len(self.dec))):
-            x = self.decode_step(x, feats, i, train)
+            x = checkpoint_name(self.decode_step(x, feats, i, train), "stage_boundary")
             kd_feats.append(x)
         head_in = self.head_conv(x, train)
         if self.head_in_dtype != "float32":
             head_in = head_in.astype(_dtype(self.head_in_dtype))
+        head_in = checkpoint_name(head_in, "stage_boundary")
         kd_feats.append(head_in)
         return head_in, kd_feats
 

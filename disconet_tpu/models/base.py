@@ -197,7 +197,13 @@ class IntermediateFusionModel(nn.Module):
         fk = batch_to_agents(feats[k], B, A)
         extent = self.config.area_extents[:2]
         warped = warp_all_pairs(fk.astype(wdt), trans, extent)  # (B, Ar, As, h, w, C)
-        fused = self.fuse(fk, warped, agent_mask, train, trans=trans)
+        # stage-boundary tag (see backbone.py encode): under train_remat the
+        # fused map is saved so the backward never re-runs the all-pairs warp
+        from jax.ad_checkpoint import checkpoint_name
+
+        fused = checkpoint_name(
+            self.fuse(fk, warped, agent_mask, train, trans=trans), "stage_boundary"
+        )
 
         feats = list(feats)
         feats[k] = agents_to_batch(fused)

@@ -210,16 +210,34 @@ def make_train_step(
             )
 
         def loss_fn(params):
-            out, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                get_bev(batch, "bev", config),
-                batch["trans"],
-                batch["agent_mask"],
-                train=True,
-                mutable=["batch_stats"],
-            )
+            def fwd(params):
+                out, mutated = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    get_bev(batch, "bev", config),
+                    batch["trans"],
+                    batch["agent_mask"],
+                    train=True,
+                    mutable=["batch_stats"],
+                )
+                # head_raw is inference-only (predict path); keep it out of
+                # the (possibly checkpointed) training graph's outputs
+                out.pop("head_raw", None)
+                return out, mutated["batch_stats"]
+
+            if getattr(config, "train_remat", False):
+                # save only the tagged stage boundaries (backbone.py /
+                # models/base.py); the backward rematerializes each stage's
+                # conv/BN intermediates from its input instead of reading
+                # them back from HBM as fp32 residuals
+                fwd = jax.checkpoint(
+                    fwd,
+                    policy=jax.checkpoint_policies.save_only_these_names(
+                        "stage_boundary"
+                    ),
+                )
+            out, new_stats = fwd(params)
             loss, metrics = _losses(out, batch, config, teacher_out)
-            return loss, (metrics, mutated["batch_stats"])
+            return loss, (metrics, new_stats)
 
         (loss, (metrics, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params

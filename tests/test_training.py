@@ -134,6 +134,36 @@ def test_prefetch_to_device_early_close_joins_worker():
     assert all(t != threading.get_ident() for t in started)  # ran off-thread
 
 
+@pytest.mark.parametrize("com", ["", "disco"])
+def test_train_remat_matches_baseline(com):
+    """config.train_remat re-executes the same math in the backward (policy
+    remat over stage_boundary tags), so one optimizer step must match the
+    non-remat step. f32 compute isolates the comparison from bf16 reissue
+    rounding."""
+    from disconet_tpu.config import tiny_config as _tc
+
+    batch = _batch()
+    dev = batch_to_device(batch)
+    results = []
+    for remat in (False, True):
+        cfg = _tc(32, compute_dtype="float32", train_remat=remat)
+        model = build_model(com, cfg)
+        state = create_train_state(model, cfg, jax.random.PRNGKey(0), batch)
+        step = make_train_step(model, cfg)
+        state, m = step(state, dev, None)
+        results.append((state, float(m["loss"])))
+    (s0, l0), (s1, l1) = results
+    assert np.isclose(l0, l1, rtol=1e-6), (l0, l1)
+    for a, b in zip(jax.tree_util.tree_leaves(s0.params),
+                    jax.tree_util.tree_leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s0.batch_stats),
+                    jax.tree_util.tree_leaves(s1.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
 def test_kd_train_step():
     batch = _batch()
     model = build_model("disco", CFG, kd_flag=True)

@@ -44,6 +44,9 @@ def main(argv=None):
     p.add_argument("--grid", type=int, default=256)
     p.add_argument("--nworker", type=int, default=2)
     p.add_argument("--steps", type=int, default=10, help="timed steps per phase")
+    p.add_argument("--remat", type=int, default=0,
+                   help="config.train_remat: rematerialize intra-stage "
+                        "activations in the backward pass")
     args = p.parse_args(argv)
 
     import jax
@@ -58,7 +61,8 @@ def main(argv=None):
         prefetch_to_device,
     )
 
-    cfg = Config() if args.grid == 256 else tiny_config(args.grid)
+    over = {"train_remat": True} if args.remat else {}
+    cfg = Config(**over) if args.grid == 256 else tiny_config(args.grid, **over)
     dataset = V2XSimDet(args.data, cfg, rsu=True, dense_targets=False, cache_items=512)
     loader = BatchIterator(dataset, args.batch, shuffle=True, seed=0, num_workers=args.nworker)
     print(f"dataset: {len(dataset)} frames, {len(loader)} batches/epoch", flush=True)

@@ -76,6 +76,11 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save_pth", type=int, default=1, help="also export epoch_N.pth (compat)")
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--remat", type=int, default=0,
+                   help="rematerialize intra-stage activations in the backward "
+                        "(config.train_remat): saves HBM residual traffic for "
+                        "~1x extra forward FLOPs — measure per geometry with "
+                        "tools/bench_train_stages.py")
     p.add_argument("--steps_per_dispatch", type=int, default=1,
                    help="optimizer steps per device call (lax.scan over K "
                         "stacked batches) — hides the tunnel round trip when "
@@ -105,6 +110,8 @@ def make_config(args) -> Config:
     over = dict(kd_weight=args.kd_weight, fusion_layer=args.layer)
     if getattr(args, "warp_dtype", None):
         over["warp_dtype"] = args.warp_dtype
+    if getattr(args, "remat", 0):
+        over["train_remat"] = True
     if getattr(args, "num_classes", 2) != 2:
         over["num_classes"] = args.num_classes
     return Config(**over) if args.grid == 256 else tiny_config(args.grid, **over)
