@@ -63,12 +63,15 @@ class UNet(nn.Module):
         ]
 
     def encode(self, x: jnp.ndarray, train: bool = False, upto: int | None = None):
+        from jax.ad_checkpoint import checkpoint_name
+
         feats = []
         n = len(self.stages) if upto is None else upto + 1
         for i in range(n):
             if i > 0:
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
-            x = self.stages[i](x, train)
+            # no-op tag for config.train_remat (see backbone.py encode)
+            x = checkpoint_name(self.stages[i](x, train), "stage_boundary")
             feats.append(x)
         return feats
 
@@ -78,10 +81,12 @@ class UNet(nn.Module):
         return self.dec[i](x, feats[i], train)
 
     def decode(self, feats, train: bool = False):
+        from jax.ad_checkpoint import checkpoint_name
+
         x = feats[-1]
         kd_feats = []
         for i in reversed(range(len(self.dec))):
-            x = self.decode_step(x, feats, i, train)
+            x = checkpoint_name(self.decode_step(x, feats, i, train), "stage_boundary")
             kd_feats.append(x)
         # the stride-1 64-ch map IS the head input (the reference UNet's outc
         # 1x1 conv is the caller's SegHead); no extra head_conv like STPN

@@ -41,16 +41,29 @@ def _seg_loss(out, batch):
 def make_seg_train_step(model, config: Config) -> Callable:
     def train_step(state: DetTrainState, batch):
         def loss_fn(params):
-            out, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                get_bev(batch, "bev", config),
-                batch["trans"],
-                batch["agent_mask"],
-                train=True,
-                mutable=["batch_stats"],
-            )
+            def fwd(params):
+                out, mutated = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    get_bev(batch, "bev", config),
+                    batch["trans"],
+                    batch["agent_mask"],
+                    train=True,
+                    mutable=["batch_stats"],
+                )
+                return out, mutated["batch_stats"]
+
+            if getattr(config, "train_remat", False):
+                # same policy remat as det_module.make_train_step; both the
+                # UNet and STPN backbones carry the stage_boundary tags
+                fwd = jax.checkpoint(
+                    fwd,
+                    policy=jax.checkpoint_policies.save_only_these_names(
+                        "stage_boundary"
+                    ),
+                )
+            out, new_stats = fwd(params)
             loss, metrics = _seg_loss(out, batch)
-            return loss, (metrics, mutated["batch_stats"])
+            return loss, (metrics, new_stats)
 
         (loss, (metrics, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params

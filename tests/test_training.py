@@ -164,6 +164,33 @@ def test_train_remat_matches_baseline(com):
                                    rtol=2e-5, atol=2e-6)
 
 
+def test_seg_train_remat_matches_baseline():
+    """Seg analog of test_train_remat_matches_baseline: the UNet backbone
+    carries the same stage_boundary tags (models/unet.py), and
+    make_seg_train_step applies the same policy remat."""
+    from disconet_tpu.config import tiny_config as _tc
+    from disconet_tpu.training.seg_module import make_seg_train_step
+
+    rng = np.random.default_rng(3)
+    batch = _batch()
+    H, W = CFG.map_dims
+    batch["seg_label"] = rng.integers(0, CFG.num_seg_classes, (B, A, H, W))
+    results = []
+    for remat in (False, True):
+        cfg = _tc(32, compute_dtype="float32", train_remat=remat)
+        model = build_model("disco", cfg, task="seg")
+        state = create_train_state(model, cfg, jax.random.PRNGKey(0), batch)
+        step = make_seg_train_step(model, cfg)
+        state, m = step(state, batch_to_device(batch))
+        results.append((state, float(m["loss"])))
+    (s0, l0), (s1, l1) = results
+    assert np.isclose(l0, l1, rtol=1e-6), (l0, l1)
+    for a, b in zip(jax.tree_util.tree_leaves(s0.params),
+                    jax.tree_util.tree_leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
 def test_kd_train_step():
     batch = _batch()
     model = build_model("disco", CFG, kd_flag=True)

@@ -48,6 +48,9 @@ def parse_args(argv=None):
     p.add_argument("--grid", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--remat", type=int, default=0,
+                   help="config.train_remat: rematerialize intra-stage "
+                        "activations in the backward pass")
     p.add_argument("--steps_per_dispatch", type=int, default=1,
                    help="optimizer steps per device call (lax.scan over K "
                         "stacked batches) — hides the tunnel round trip on "
@@ -61,6 +64,8 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
     over = dict(fusion_layer=args.layer, seg_backbone=args.seg_backbone)
+    if args.remat:
+        over["train_remat"] = True
     cfg = Config(**over) if args.grid == 256 else tiny_config(args.grid, **over)
 
     dataset = V2XSimSeg(args.data, cfg, rsu=bool(args.rsu), bound=args.bound, cache_items=256)
