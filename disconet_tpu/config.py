@@ -240,6 +240,25 @@ class Config:
         return np.stack([cx, cy], axis=-1)
 
 
+def default_fusion_layer(grid: int) -> int:
+    """Resolution-aware default for ``--layer`` (the fusion stage index).
+
+    The reference hard-codes ``--layer 3`` — at its 256^2 grid that fuses
+    32x32 feature maps (1 m/cell after the 0.25 m voxels). Keeping the *index*
+    fixed while shrinking the grid silently coarsens the *physical* fusion
+    resolution: at 64-grid, layer 3 is 8x8 = 2 m/cell, too coarse for the
+    pose warp + per-pixel edge weights to transport a neighbor-only vehicle
+    (~4.5 m long). Measured on the occluded benchmark (docs/benchmarking.md):
+    layer-3 disco 0.219 mAP@0.7 loses to the no-collaboration lowerbound
+    0.235, while layer-2 (16x16) disco scores 0.300 and disco+KD 0.340.
+
+    Rule: keep the reference's layer 3 whenever the fusion map stays >=16x16,
+    otherwise drop the layer until it is (floor 16x16) — i.e. preserve fusion
+    resolution, not layer index, across grid sizes.
+    """
+    return max(0, min(3, int(math.log2(max(16, grid))) - 4))
+
+
 @dataclasses.dataclass(frozen=True)
 class ConfigGlobal(Config):
     """Teacher / holistic-view variant (reference ConfigGlobal, SURVEY.md C1).

@@ -35,15 +35,20 @@ from _bench_harness import (  # noqa: E402
 # SAME seed's trained upperbound checkpoint (TeacherNet == FaFNet-upperbound
 # architecture with KD taps; reference README.md:59 --resume_teacher).
 CONFIGS = {
+    # NB: intermediate-fusion cells pin --layer explicitly. The CLIs now
+    # default to config.default_fusion_layer (resolution-aware: layer 2 at
+    # the matrix's 64-grid); the un-suffixed cells below predate that and
+    # stay at the reference's layer index 3 so rows remain comparable
+    # across rounds — the _l2 cells are the resolution-matched points.
     "lowerbound": ["--bound", "lowerbound"],
     "upperbound": ["--bound", "upperbound"],
-    "when2com": ["--com", "when2com"],
-    "v2v": ["--com", "v2v"],
-    "disco": ["--com", "disco"],
-    "disco_kd": ["--com", "disco", "--kd_flag", "1"],
-    "disco_norsu": ["--com", "disco", "--rsu", "0"],  # BASELINE.json config 3
-    "mean": ["--com", "mean"],
-    "max": ["--com", "max"],
+    "when2com": ["--com", "when2com", "--layer", "3"],
+    "v2v": ["--com", "v2v", "--layer", "3"],
+    "disco": ["--com", "disco", "--layer", "3"],
+    "disco_kd": ["--com", "disco", "--kd_flag", "1", "--layer", "3"],
+    "disco_norsu": ["--com", "disco", "--rsu", "0", "--layer", "3"],
+    "mean": ["--com", "mean", "--layer", "3"],
+    "max": ["--com", "max", "--layer", "3"],
     # layer-2 fusion diagnostics (VERDICT r2 #1): at 64-grid, layer-3 fusion
     # operates on 8x8 maps (2 m/cell) — likely too coarse to transport
     # neighbor-only boxes; layer 2 fuses at 16x16, the same relative

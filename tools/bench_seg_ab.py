@@ -42,7 +42,10 @@ def run_cell(backbone, seed, args, results, out_path):
     logpath = os.path.join(args.root, "logs", f"seed{seed}_{backbone}")
     os.makedirs(logpath, exist_ok=True)
     log_file = os.path.join(logpath, "cell.log")
-    common = ["--com", args.com, "--seg_backbone", backbone,
+    # --layer pinned to the reference index: the checked-in A/B numbers
+    # (results/seg_ab.json) were measured at layer 3, before the CLIs grew
+    # the resolution-aware default (config.default_fusion_layer)
+    common = ["--com", args.com, "--seg_backbone", backbone, "--layer", "3",
               "--grid", str(args.grid), "--batch", str(args.batch)]
     t0 = time.time()
     with_retries(f"{key} train", lambda: sh(

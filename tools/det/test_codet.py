@@ -28,7 +28,7 @@ from collections import defaultdict
 import jax
 import numpy as np
 
-from disconet_tpu.config import Config, tiny_config
+from disconet_tpu.config import Config, default_fusion_layer, tiny_config
 from disconet_tpu.data import BatchIterator, V2XSimDet
 from disconet_tpu.evaluation import eval_map
 from disconet_tpu.models import build_model
@@ -53,7 +53,9 @@ def parse_args(argv=None):
                    help="late collaboration: merge neighbors' boxes into each agent (C8)")
     p.add_argument("--logpath", type=str, default="logs")
     p.add_argument("--visualization", type=int, default=0)
-    p.add_argument("--layer", type=int, default=3)
+    p.add_argument("--layer", type=int, default=None,
+                   help="fusion layer index (default: config.default_fusion_layer "
+                        "for --grid; must match the checkpoint's training value)")
     p.add_argument("--warp_flag", type=int, default=1)
     p.add_argument("--grid", type=int, default=256)
     p.add_argument("--num_classes", type=int, default=2,
@@ -69,7 +71,13 @@ def parse_args(argv=None):
                    help="inference warp dtype override (config.warp_dtype)")
     p.add_argument("--pose_noise_rot_std", type=float, default=0.0,
                    help="test-time pose noise: rotation std [rad]")
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if args.layer is None:
+        args.layer = default_fusion_layer(args.grid)
+        if args.layer != 3:
+            print(f"--layer auto: {args.layer} (fusion map >=16x16 at "
+                  f"--grid {args.grid}; pass --layer 3 for the reference index)")
+    return args
 
 
 def main(argv=None):

@@ -27,7 +27,7 @@ import time
 import jax
 import numpy as np
 
-from disconet_tpu.config import Config, tiny_config
+from disconet_tpu.config import Config, default_fusion_layer, tiny_config
 from disconet_tpu.data import BatchIterator, V2XSimDet
 from disconet_tpu.models import TeacherNet, build_model
 from disconet_tpu.parallel import make_mesh, replicate_tree, shard_batch
@@ -55,7 +55,10 @@ def parse_args(argv=None):
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--kd_flag", type=int, default=0)
     p.add_argument("--kd_weight", type=float, default=100000.0)
-    p.add_argument("--layer", type=int, default=3, help="fusion layer index")
+    p.add_argument("--layer", type=int, default=None,
+                   help="fusion layer index (default: reference's 3 at "
+                        "--grid >=128; smaller grids auto-drop to keep the "
+                        "fusion map >=16x16 — config.default_fusion_layer)")
     p.add_argument("--rsu", type=int, default=1)
     p.add_argument("--resume", type=str, default="", help=".pth or orbax dir to resume student")
     p.add_argument("--resume_teacher", type=str, default="", help="teacher checkpoint (--kd_flag 1)")
@@ -103,7 +106,13 @@ def parse_args(argv=None):
                    help="mesh axis size sharding the agent dim (fusion gather -> ICI all_gather)")
     p.add_argument("--mesh_spatial", type=int, default=1,
                    help="mesh axis size sharding the BEV H dim (GSPMD conv halo exchange)")
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if args.layer is None:
+        args.layer = default_fusion_layer(args.grid)
+        if args.layer != 3:
+            print(f"--layer auto: {args.layer} (fusion map >=16x16 at "
+                  f"--grid {args.grid}; pass --layer 3 for the reference index)")
+    return args
 
 
 def make_config(args) -> Config:
@@ -280,13 +289,16 @@ def main(argv=None):
 
     step = 0
     profiler_span = None
+    profile_done = False
     predict_vis = None  # built lazily on first --visualization render
     for epoch in range(start_epoch + 1, args.nepoch + 1):
         t_ep = time.time()
         last = {}
         # transfers for batch n+1 are issued while step n executes
         for dev_batch in prefetch_to_device(host_batches(), to_device):
-            if args.profile and step == 2:  # past compile: steady state
+            # >= not ==: with --steps_per_dispatch K>1 `step` advances by K
+            # and would jump straight past 2, never opening the span
+            if args.profile and not profile_done and profiler_span is None and step >= 2:
                 from disconet_tpu.utils.profiling import trace
 
                 profiler_span = trace(os.path.join(logdir, "profile"))
@@ -301,6 +313,7 @@ def main(argv=None):
                 jax.tree_util.tree_map(lambda x: x.block_until_ready(), metrics)
                 profiler_span.__exit__(None, None, None)
                 profiler_span = None
+                profile_done = True
                 print(f"profiler trace written to {os.path.join(logdir, 'profile')}")
             if step % args.log_every == 0:
                 last = _metrics_floats(metrics)

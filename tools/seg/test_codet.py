@@ -16,7 +16,7 @@ _env_setup()  # compile cache + honor JAX_PLATFORMS over sitecustomize override
 import jax
 import numpy as np
 
-from disconet_tpu.config import Config, tiny_config
+from disconet_tpu.config import Config, default_fusion_layer, tiny_config
 from disconet_tpu.data import BatchIterator, V2XSimSeg
 from disconet_tpu.models import build_model
 from disconet_tpu.training import batch_to_device
@@ -37,7 +37,9 @@ def main(argv=None):
     p.add_argument("--resume", type=str, default="")
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--rsu", type=int, default=1)
-    p.add_argument("--layer", type=int, default=3)
+    p.add_argument("--layer", type=int, default=None,
+                   help="fusion layer index (default: config.default_fusion_layer; "
+                        "must match the checkpoint's training value)")
     p.add_argument("--seg_backbone", type=str, default="unet", choices=["unet", "stpn"],
                    help="seg architecture (SURVEY.md C19): reference-topology UNet "
                         "or the det STPN pyramid + 1x1 SegHead (A/B in BASELINE.md)")
@@ -46,6 +48,8 @@ def main(argv=None):
                    help="render pred-vs-gt seg panels for the first batch")
     p.add_argument("--logpath", type=str, default="logs", help="--visualization output dir")
     args = p.parse_args(argv)
+    if args.layer is None:
+        args.layer = default_fusion_layer(args.grid)
 
     over = dict(fusion_layer=args.layer, seg_backbone=args.seg_backbone)
     cfg = Config(**over) if args.grid == 256 else tiny_config(args.grid, **over)

@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 import jax
 import numpy as np
 
-from disconet_tpu.config import Config, tiny_config
+from disconet_tpu.config import Config, default_fusion_layer, tiny_config
 from disconet_tpu.data import BatchIterator, V2XSimSeg
 from disconet_tpu.models import build_model
 from disconet_tpu.training import CheckpointIO, MetricLogger
@@ -35,7 +35,8 @@ def parse_args(argv=None):
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--nepoch", type=int, default=100)
     p.add_argument("--lr", type=float, default=1e-3)
-    p.add_argument("--layer", type=int, default=3)
+    p.add_argument("--layer", type=int, default=None,
+                   help="fusion layer index (default: config.default_fusion_layer)")
     p.add_argument("--seg_backbone", type=str, default="unet", choices=["unet", "stpn"],
                    help="seg architecture (SURVEY.md C19): reference-topology UNet "
                         "or the det STPN pyramid + 1x1 SegHead (A/B in BASELINE.md)")
@@ -58,7 +59,10 @@ def parse_args(argv=None):
     p.add_argument("--ckpt_every", type=int, default=1, help="save checkpoints every N epochs")
     p.add_argument("--ckpt_keep", type=int, default=5,
                    help="orbax checkpoints retained (0 = keep all)")
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if args.layer is None:
+        args.layer = default_fusion_layer(args.grid)
+    return args
 
 
 def main(argv=None):
