@@ -10,7 +10,7 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
-from _bench_harness import gap_vs_noise  # noqa: E402
+from _bench_harness import gap_vs_noise, load_results, save_results  # noqa: E402
 
 
 def test_n1_refuses_verdict():
@@ -27,3 +27,23 @@ def test_significant_when_gap_exceeds_combined_std():
 def test_within_noise_when_gap_below_combined_std():
     # gap 0.01, stds 0.05 each -> within noise
     assert gap_vs_noise("a - b", [0.45, 0.55], [0.44, 0.54]) == "within noise"
+
+
+def test_save_results_merges_with_disk(tmp_path):
+    """A harness holding a stale in-memory dict must not drop cells another
+    process wrote after its load (observed round 3: a resumed seed-1 pass
+    erased the seed-0 cells a concurrent finisher had added)."""
+    out = str(tmp_path / "results.json")
+    # process A loads (empty), process B completes a cell and saves
+    a = load_results(out)
+    b = load_results(out)
+    b["cellB/seed0"] = {"mAP@0.7": 0.4}
+    save_results(b, out)
+    # A, unaware of B's cell, saves its own cell: B's must survive
+    a["cellA/seed0"] = {"mAP@0.7": 0.3}
+    save_results(a, out)
+    on_disk = load_results(out)
+    assert on_disk == {"cellA/seed0": {"mAP@0.7": 0.3},
+                       "cellB/seed0": {"mAP@0.7": 0.4}}
+    # and the merged view is folded back so A's skip checks see B's cell
+    assert "cellB/seed0" in a
