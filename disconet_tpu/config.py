@@ -173,6 +173,17 @@ class Config:
     # sigmoid-saturation ties differently; unit-tested equal keep sets).
     packed_nms: bool = False
 
+    # Compute the det losses straight from the fp32 PACKED head tensor
+    # (ops/losses.py packed_det_losses: dense background pass + sparse
+    # correction at the listed positive sites) instead of the logical
+    # (B,A,H,W,NA,·) cls/reg views. The views' trailing dims (6,2)/(6,6)
+    # tile to (8,128) on TPU — up to 85x physical HBM inflation — which made
+    # heads+loss 49% of the measured train step at ~46 GB of traffic
+    # (docs/performance.md, train-step roofline). Numerically equal (values
+    # and gradients, tests/test_packed_loss.py); False restores the view
+    # path (the oracle, and the only path for dense reference targets).
+    packed_loss: bool = True
+
     # Rematerialize intra-stage activations in the training backward pass
     # (training/det_module.py): stage-boundary tensors are tagged with
     # jax.ad_checkpoint.checkpoint_name ("stage_boundary", backbone.py /

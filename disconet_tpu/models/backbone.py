@@ -446,7 +446,9 @@ class DetectionHeads(nn.Module):
     raw_dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    def __call__(
+        self, x: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         B, H, W, C = x.shape
         NA, NC, code = self.num_anchors, self.num_classes, self.box_code_size
         n_cls, n_reg = NA * NC, NA * code
@@ -470,7 +472,11 @@ class DetectionHeads(nn.Module):
         raw = raw + jnp.concatenate([b_cls_perm, b_reg])
         cls = raw[..., :n_cls].reshape(B, H, W, NC, NA).swapaxes(-1, -2)
         reg = raw[..., n_cls:].reshape(B, H, W, NA, code)
-        return cls, reg, raw.astype(_dtype(self.raw_dtype))
+        # 4th output: the fp32 accumulator pre-storage-cast — the packed-loss
+        # path (ops/losses.py packed_det_losses) trains on full-precision
+        # logits while predict keeps the bf16-stored tensor; XLA dead-code
+        # eliminates whichever a jitted graph doesn't consume.
+        return cls, reg, raw.astype(_dtype(self.raw_dtype)), raw
 
 
 class SegHead(nn.Module):

@@ -209,13 +209,16 @@ class IntermediateFusionModel(nn.Module):
         feats[k] = agents_to_batch(fused)
         head_in, kd_feats = self.stpn.decode(feats, train)
         if self.task == "det":
-            cls, reg, raw = self.heads(head_in)
+            cls, reg, raw, raw_f32 = self.heads(head_in)
             out = {
                 "cls": batch_to_agents(cls, B, A),
                 "reg": batch_to_agents(reg, B, A),
                 # packed class-major head output in the conv's natural channel
                 # layout — the fast path for predict (see DetectionHeads)
                 "head_raw": batch_to_agents(raw, B, A),
+                # fp32 packed accumulator — the fast path for the LOSSES
+                # (packed_det_losses); unused outputs are DCE'd per graph
+                "head_raw_f32": batch_to_agents(raw_f32, B, A),
             }
         else:
             out = {"seg": batch_to_agents(self.seg_head(head_in), B, A)}

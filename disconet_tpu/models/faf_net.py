@@ -52,11 +52,12 @@ class FaFNet(nn.Module):
         x = agents_to_batch(bev.astype(jnp.float32))
         head_in, kd_feats = self.stpn(x, train)
         if self.task == "det":
-            cls, reg, raw = self.heads(head_in)
+            cls, reg, raw, raw_f32 = self.heads(head_in)
             out = {
                 "cls": batch_to_agents(cls, B, A),
                 "reg": batch_to_agents(reg, B, A),
                 "head_raw": batch_to_agents(raw, B, A),
+                "head_raw_f32": batch_to_agents(raw_f32, B, A),
             }
         else:
             out = {"seg": batch_to_agents(self.seg_head(head_in), B, A)}

@@ -32,7 +32,12 @@ from flax.training import train_state
 from disconet_tpu.config import Config
 from disconet_tpu.ops.bitpack import pack_bev_np, unpack_bev, unpack_bev_np
 from disconet_tpu.ops.boxes import make_anchors
-from disconet_tpu.ops.losses import kd_feature_loss, softmax_focal_loss, weighted_smooth_l1
+from disconet_tpu.ops.losses import (
+    kd_feature_loss,
+    packed_det_losses,
+    softmax_focal_loss,
+    weighted_smooth_l1,
+)
 from disconet_tpu.ops.nms import (
     foreground_scores,
     packed_scores_and_deltas,
@@ -100,6 +105,32 @@ def _losses(out, batch, config: Config, teacher_out=None):
         layout, kept for back-compat.
     """
     agent_mask = batch["agent_mask"].astype(jnp.float32)  # (B, A)
+
+    if (
+        "reg_pos_idx" in batch
+        and "head_raw_f32" in out
+        and getattr(config, "packed_loss", True)
+    ):
+        # packed path (default): both losses straight from the fp32 packed
+        # head tensor — no (B,A,H,W,NA,·) tensor with a tiny minor dim is
+        # ever materialized (each costs up to 85x physical HBM on TPU; the
+        # view-based path below measured 49% of the train step,
+        # docs/performance.md train roofline). Numerically equal to the
+        # view path (tests/test_packed_loss.py, values AND gradients).
+        cls_loss, reg_loss = packed_det_losses(
+            out["head_raw_f32"],
+            batch["reg_pos_idx"],
+            batch["reg_pos_target"],
+            agent_mask,
+            num_anchors=config.num_anchors,
+            num_classes=config.num_classes,
+            box_code_size=config.box_code_size,
+            pos_cls=batch.get("reg_pos_cls"),
+            gamma=config.focal_gamma,
+            sigma=config.smooth_l1_sigma,
+        )
+        return _finish_losses(cls_loss, reg_loss, out, config, teacher_out, agent_mask)
+
     # broadcast agent mask over (B, A, H, W, Anch)
     am = agent_mask[:, :, None, None, None]
     cls_mask = jnp.broadcast_to(am, out["cls"].shape[:-1])
@@ -150,6 +181,11 @@ def _losses(out, batch, config: Config, teacher_out=None):
         reg_loss = weighted_smooth_l1(
             out["reg"], batch["reg_target"], reg_mask[..., None], sigma=config.smooth_l1_sigma
         )
+    return _finish_losses(cls_loss, reg_loss, out, config, teacher_out, agent_mask)
+
+
+def _finish_losses(cls_loss, reg_loss, out, config, teacher_out, agent_mask):
+    """Weighted total + optional KD term (shared by both loss paths)."""
     loss = config.cls_weight * cls_loss + config.reg_weight * reg_loss
     metrics = {"cls_loss": cls_loss, "reg_loss": reg_loss}
     if teacher_out is not None:

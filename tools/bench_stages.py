@@ -97,7 +97,7 @@ def main():
         feats = list(feats)
         feats[k] = agents_to_batch(fused)
         head_in, _ = m.stpn.decode(feats, False)
-        _, _, raw = m.heads(head_in)
+        _, _, raw, _ = m.heads(head_in)
         if upto == 3:
             return checksum(raw)
         # packed fast path (ops/nms.py helper)
@@ -143,7 +143,7 @@ def main():
         x = m.stpn.head_conv(x, False)
         if upto == n_dec:
             return checksum(x)
-        _, _, raw = m.heads(x)
+        _, _, raw, _ = m.heads(x)
         return checksum(raw)
 
     args = (variables, jnp.asarray(pts), jnp.asarray(trans), jnp.asarray(mask))

@@ -94,10 +94,11 @@ def main(argv=None):
         head_in, _ = m.stpn.decode(feats, True)
         if upto == 3:
             return checksum(head_in)
-        cls, reg, _ = m.heads(head_in)
+        cls, reg, _, raw_f32 = m.heads(head_in)
         out = {
             "cls": cls.reshape((B, A) + cls.shape[1:]),
             "reg": reg.reshape((B, A) + reg.shape[1:]),
+            "head_raw_f32": raw_f32.reshape((B, A) + raw_f32.shape[1:]),
         }
         loss, _ = _losses(out, batch, cfg)
         return loss
@@ -140,10 +141,11 @@ def main(argv=None):
         head_in, _ = m.stpn.decode(feats, False)
         if upto == 3:
             return checksum(head_in)
-        cls, reg, _ = m.heads(head_in)
+        cls, reg, _, raw_f32 = m.heads(head_in)
         out = {
             "cls": cls.reshape((B, A) + cls.shape[1:]),
             "reg": reg.reshape((B, A) + reg.shape[1:]),
+            "head_raw_f32": raw_f32.reshape((B, A) + raw_f32.shape[1:]),
         }
         loss, _ = _losses(out, batch, cfg)
         return loss
