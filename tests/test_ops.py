@@ -277,7 +277,7 @@ class TestNMS:
         heads = DetectionHeads(num_anchors=6, num_classes=2, box_code_size=6)
         x = jnp.asarray(rng.standard_normal((2, 8, 8, 32)).astype(np.float32))
         variables = heads.init(jax.random.PRNGKey(0), x)
-        cls, reg, raw = heads.apply(variables, x)
+        cls, reg, raw, _ = heads.apply(variables, x)
         NA = 6
         # class-major cls block: raw[..., c*NA + a] == cls[..., a, c]
         np.testing.assert_allclose(
@@ -303,7 +303,7 @@ class TestNMS:
         )
         x = jnp.asarray(rng.standard_normal((2, 8, 8, 32)).astype(np.float32))
         variables = heads.init(jax.random.PRNGKey(0), x)
-        cls, reg, raw = heads.apply(variables, x)
+        cls, reg, raw, _ = heads.apply(variables, x)
         assert raw.dtype == jnp.bfloat16
         assert cls.dtype == jnp.float32 and reg.dtype == jnp.float32
         NA = 6

@@ -47,6 +47,12 @@ def main(argv=None):
     p.add_argument("--remat", type=int, default=0,
                    help="config.train_remat: rematerialize intra-stage "
                         "activations in the backward pass")
+    p.add_argument("--max_pos", type=int, default=0,
+                   help="override config.max_pos_anchors (P): the packed "
+                        "loss gathers/scatters P sites per agent-frame, so "
+                        "P sizes that cost directly (train-step roofline)")
+    p.add_argument("--packed_loss", type=int, default=1,
+                   help="0 = view-based loss path (the pre-r3 baseline)")
     args = p.parse_args(argv)
 
     import jax
@@ -62,6 +68,10 @@ def main(argv=None):
     )
 
     over = {"train_remat": True} if args.remat else {}
+    if args.max_pos:
+        over["max_pos_anchors"] = args.max_pos
+    if not args.packed_loss:
+        over["packed_loss"] = False
     cfg = Config(**over) if args.grid == 256 else tiny_config(args.grid, **over)
     dataset = V2XSimDet(args.data, cfg, rsu=True, dense_targets=False, cache_items=512)
     loader = BatchIterator(dataset, args.batch, shuffle=True, seed=0, num_workers=args.nworker)
