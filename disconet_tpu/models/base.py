@@ -198,7 +198,11 @@ class IntermediateFusionModel(nn.Module):
         extent = self.config.area_extents[:2]
         warped = warp_all_pairs(fk.astype(wdt), trans, extent)  # (B, Ar, As, h, w, C)
         # stage-boundary tag (see backbone.py encode): under train_remat the
-        # fused map is saved so the backward never re-runs the all-pairs warp
+        # fused map is a saved boundary, so the DECODE stages' backward
+        # recomputes from here instead of re-running encode+fuse. (The fuse
+        # stage's own backward still recomputes its intermediates — including
+        # one warp re-execution — from the saved feats[k]; the tag cannot
+        # prevent that, only stop the recompute from cascading further.)
         from jax.ad_checkpoint import checkpoint_name
 
         fused = checkpoint_name(

@@ -76,22 +76,31 @@ def load_results(out_path: str) -> dict:
 
 
 def save_results(results: dict, out_path: str) -> None:
-    """Merge-on-save: overlay the in-memory cells onto whatever is on disk
-    NOW, not at load time. A harness that loaded the file earlier (or a
-    second harness resuming the same matrix) must only add/update its own
-    cells — a plain overwrite drops every cell another process completed
-    after our load (observed: a stale seed-1 pass erased the seed-0
-    lowerbound/disco_kd rows written by a concurrent finisher). The write is
+    """Merge-on-save under a file lock: overlay the in-memory cells onto
+    whatever is on disk NOW, not at load time. A harness that loaded the
+    file earlier (or a second harness resuming the same matrix) must only
+    add/update its own cells — a plain overwrite drops every cell another
+    process completed after our load (observed: a stale seed-1 pass erased
+    the seed-0 lowerbound/disco_kd rows written by a concurrent finisher).
+    ``flock`` around the read-merge-replace closes the remaining
+    lost-update window between two simultaneous savers; the write itself is
     atomic (temp file + rename) so a kill mid-save can't truncate the JSON.
     The merged view is folded back into ``results`` so skip checks also see
-    cells finished elsewhere."""
-    merged = load_results(out_path)
-    merged.update(results)
-    results.update(merged)
-    tmp = out_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(merged, f, indent=1, sort_keys=True)
-    os.replace(tmp, out_path)
+    cells finished elsewhere. (Known limit: a process holding a stale copy
+    of a key still wins over a concurrent RE-measurement of that same key —
+    acceptable, cells are append-once in practice.)"""
+    import fcntl
+
+    lock_path = out_path + ".lock"
+    with open(lock_path, "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        merged = load_results(out_path)
+        merged.update(results)
+        results.update(merged)
+        tmp = out_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(merged, f, indent=1, sort_keys=True)
+        os.replace(tmp, out_path)
 
 
 def gap_vs_noise(label: str, hi, lo) -> str:

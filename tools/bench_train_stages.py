@@ -75,23 +75,24 @@ def main(argv=None):
     def checksum(*arrays):
         return sum(jnp.sum(a.astype(jnp.float32)) for a in arrays)
 
-    # prefix bodies mirror the TRAIN forward (train=True, BN stats mutated) —
-    # same submodule calls as IntermediateFusionModel.__call__ (models/base.py)
-    def run_prefix(m, bev, trans, mask, upto):
+    # ONE prefix body for both BN modes (train flag threaded through) —
+    # same submodule calls as IntermediateFusionModel.__call__ (models/base.py),
+    # so the fwd(eBN) row cannot silently measure a different graph
+    def run_prefix(m, bev, trans, mask, upto, train=True):
         B, A = bev.shape[0], bev.shape[1]
         x = agents_to_batch(bev)
-        feats = m.stpn.encode(x, True)
+        feats = m.stpn.encode(x, train)
         if upto == 1:
             return checksum(feats[-1])
         k = model.layer
         fk = batch_to_agents(feats[k], B, A)
         warped = warp_all_pairs(fk, trans, cfg.area_extents[:2])
-        fused = m.fuse(fk, warped, mask, True, trans=trans)
+        fused = m.fuse(fk, warped, mask, train, trans=trans)
         if upto == 2:
             return checksum(fused)
         feats = list(feats)
         feats[k] = agents_to_batch(fused)
-        head_in, _ = m.stpn.decode(feats, True)
+        head_in, _ = m.stpn.decode(feats, train)
         if upto == 3:
             return checksum(head_in)
         cls, reg, _, raw_f32 = m.heads(head_in)
@@ -120,36 +121,10 @@ def main(argv=None):
         val, new_bs = prefix(p, bs, upto)
         return val + 0.0 * optax.global_norm(jax.tree.leaves(new_bs))
 
-    # same prefixes with eval-mode BN (use_running_average=True): the fwd
-    # delta vs train-mode isolates what batch-statistics cost — in train mode
-    # the per-conv mean/var reductions block XLA from folding BN+ReLU into the
-    # conv epilogue, so every conv output makes extra f32 HBM round trips
-    def run_prefix_eval(m, bev, trans, mask, upto):
-        B, A = bev.shape[0], bev.shape[1]
-        x = agents_to_batch(bev)
-        feats = m.stpn.encode(x, False)
-        if upto == 1:
-            return checksum(feats[-1])
-        k = model.layer
-        fk = batch_to_agents(feats[k], B, A)
-        warped = warp_all_pairs(fk, trans, cfg.area_extents[:2])
-        fused = m.fuse(fk, warped, mask, False, trans=trans)
-        if upto == 2:
-            return checksum(fused)
-        feats = list(feats)
-        feats[k] = agents_to_batch(fused)
-        head_in, _ = m.stpn.decode(feats, False)
-        if upto == 3:
-            return checksum(head_in)
-        cls, reg, _, raw_f32 = m.heads(head_in)
-        out = {
-            "cls": cls.reshape((B, A) + cls.shape[1:]),
-            "reg": reg.reshape((B, A) + reg.shape[1:]),
-            "head_raw_f32": raw_f32.reshape((B, A) + raw_f32.shape[1:]),
-        }
-        loss, _ = _losses(out, batch, cfg)
-        return loss
-
+    # eval-mode BN row (use_running_average=True): the fwd delta vs
+    # train-mode isolates what batch statistics cost — in train mode the
+    # per-conv mean/var reductions block XLA from folding BN+ReLU into the
+    # conv epilogue
     def fwd_eval_bn(p, bs, upto):
         if upto == 0:
             return checksum(batch["agent_mask"])
@@ -158,7 +133,7 @@ def main(argv=None):
             get_bev(batch, "bev", cfg),
             batch["trans"],
             batch["agent_mask"],
-            method=functools.partial(run_prefix_eval, upto=upto),
+            method=functools.partial(run_prefix, upto=upto, train=False),
         )
 
     def fwd_bwd(p, bs, upto):
