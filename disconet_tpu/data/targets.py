@@ -114,6 +114,9 @@ def assign_targets(
 
         pos = (best_iou >= config.pos_iou_threshold) & (best_gt >= 0)
         reg_mask |= pos
+        # nonzero of a mask -> strictly increasing, hence UNIQUE, sites:
+        # packed_det_losses' sparse correction requires uniqueness (its
+        # docstring contract) — a duplicate would double-count there
         pos_idx = np.nonzero(reg_mask)[0]
         if pos_idx.size:
             matched = gt_boxes[best_gt[pos_idx]]

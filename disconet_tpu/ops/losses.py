@@ -101,6 +101,12 @@ def packed_det_losses(
     holds class-``c`` logits of anchor ``a`` (class-major); lane
     ``NA*NC + a*code + j`` holds reg code ``j`` of anchor ``a``. Flat site
     index = ``(h*W + w)*NA + a`` with sentinel ``H*W*NA`` for padding.
+    Valid entries of ``pos_idx`` MUST be unique per (b, a): the sparse
+    correction SUMS per-site terms, so a duplicated site double-counts,
+    whereas the view path's ``.at[].set`` scatter is idempotent to
+    duplicates. The dataset encoder satisfies this by construction —
+    ``np.nonzero`` of a site mask (data/targets.py) yields strictly
+    increasing indices — but any new target source must keep the contract.
 
     Args:
         raw: (B, A, H, W, NA*NC + NA*code) packed head output, fp32.

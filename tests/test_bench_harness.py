@@ -10,7 +10,8 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
-from _bench_harness import gap_vs_noise, load_results, save_results  # noqa: E402
+from _bench_harness import (  # noqa: E402
+    gap_vs_noise, load_results, provenance, save_results)
 
 
 def test_n1_refuses_verdict():
@@ -47,3 +48,20 @@ def test_save_results_merges_with_disk(tmp_path):
                        "cellB/seed0": {"mAP@0.7": 0.4}}
     # and the merged view is folded back so A's skip checks see B's cell
     assert "cellB/seed0" in a
+
+
+def test_provenance_stamps_sha_protocol_and_loss_path():
+    """VERDICT r3 #6: every cell must self-describe — the round-3 matrix ran
+    from a pinned worktree while HEAD changed the loss path, and nothing in
+    the artifact recorded which code produced which row."""
+    import argparse
+
+    args = argparse.Namespace(grid=64, nepoch=100)
+    p = provenance(args, ["--com", "disco", "--layer", "2"])
+    assert set(p) == {"sha", "grid", "nepoch", "layer", "loss_path"}
+    assert p["grid"] == 64 and p["nepoch"] == 100 and p["layer"] == 2
+    # this repo is a git checkout and config.py declares packed_loss
+    assert p["sha"] not in ("", "unknown") and len(p["sha"]) >= 7
+    assert p["loss_path"] in ("packed", "view")
+    # flags without --layer -> layer None (CLI default applies)
+    assert provenance(args, ["--bound", "lowerbound"])["layer"] is None

@@ -33,13 +33,20 @@ def test_fusion_stride_and_channels_track_fusion_layer():
 
 
 def test_det_cli_layer_default_resolves_by_grid():
+    # load by absolute path under a unique module name: a cwd-relative
+    # sys.path entry broke invocation from outside the repo root, and the
+    # bare name 'train_codet' would collide with tools/seg's CLI of the
+    # same filename in sys.modules (ADVICE r3)
+    import importlib.util
+    import os
     import sys
-    sys.path.insert(0, "tools/det")
-    try:
-        import importlib
-        train_mod = importlib.import_module("train_codet")
-    finally:
-        sys.path.pop(0)
+
+    path = os.path.join(os.path.dirname(__file__), "..", "tools", "det",
+                        "train_codet.py")
+    spec = importlib.util.spec_from_file_location("det_train_codet_cli", path)
+    train_mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = train_mod
+    spec.loader.exec_module(train_mod)
     args = train_mod.parse_args(["--data", "/nonexistent", "--grid", "64"])
     assert args.layer == 2
     args = train_mod.parse_args(["--data", "/nonexistent"])  # 256 grid

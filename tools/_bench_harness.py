@@ -12,11 +12,45 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import subprocess
 import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def provenance(args, flags=()) -> dict:
+    """Code-version + protocol stamp for a result cell (VERDICT r3 #6).
+
+    The round-3 matrix ran from a worktree pinned at one sha while HEAD moved
+    to a different (exact-math-equal) loss path; nothing in the artifact
+    recorded which. Every cell now self-describes: the git sha of the code
+    that ran it, the protocol parameters that shape the numbers (grid,
+    nepoch), the fusion layer if pinned by the cell's flags, and the loss
+    path the training CLI will take (read from the checkout's config default,
+    since the harness runs the CLIs as subprocesses of this checkout —
+    importing the package here would drag jax into the orchestrator).
+    Cells WITHOUT a ``prov`` entry predate this stamp: they ran at 90bb8fc
+    (view-path loss, 64-grid, nepoch 100 — see results/README.md)."""
+    try:
+        sha = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                             capture_output=True, text=True, cwd=REPO,
+                             timeout=30).stdout.strip() or "unknown"
+    except Exception:
+        sha = "unknown"
+    flags = list(flags)
+    layer = (int(flags[flags.index("--layer") + 1])
+             if "--layer" in flags else None)
+    try:
+        with open(os.path.join(REPO, "disconet_tpu", "config.py")) as f:
+            m = re.search(r"packed_loss:\s*bool\s*=\s*(True|False)", f.read())
+        loss_path = ("packed" if m and m.group(1) == "True" else "view")
+    except OSError:
+        loss_path = "unknown"
+    return {"sha": sha, "grid": getattr(args, "grid", None),
+            "nepoch": getattr(args, "nepoch", None), "layer": layer,
+            "loss_path": loss_path}
 
 
 def sh(cmd, log_file, capture: bool = False) -> str:

@@ -28,8 +28,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from _bench_harness import (  # noqa: E402
-    REPO, gap_vs_noise, gen_synthetic, load_results, save_results, sh,
-    with_retries)
+    REPO, gap_vs_noise, gen_synthetic, load_results, provenance, save_results,
+    sh, with_retries)
 
 # operating point -> extra train/test CLI flags. disco_kd's teacher is the
 # SAME seed's trained upperbound checkpoint (TeacherNet == FaFNet-upperbound
@@ -56,6 +56,16 @@ CONFIGS = {
     "disco_l2": ["--com", "disco", "--layer", "2"],
     "disco_kd_l2": ["--com", "disco", "--kd_flag", "1", "--layer", "2"],
     "v2v_l2": ["--com", "v2v", "--layer", "2"],
+    "when2com_l2": ["--com", "when2com", "--layer", "2"],
+    # rsu ablation at the resolution-matched point: at layer 3 (8x8) disco
+    # itself sits within noise of lowerbound in the occluded regime, so only
+    # the _l2 ablation can resolve the rsu contribution
+    "disco_l2_norsu": ["--com", "disco", "--rsu", "0", "--layer", "2"],
+    # trajectory validation (VERDICT r3 #8): same operating point as disco_l2
+    # but trained at HEAD (packed loss) in its own checkpoint dir — anchors
+    # the packed-loss rows to the round-3 view-loss rows by measurement, on
+    # top of the unit-level value+grad equality (tests/test_packed_loss.py)
+    "disco_l2_hv": ["--com", "disco", "--layer", "2"],
 }
 # configs whose train-CLI mode dir differs from the matrix cell name (the CLI
 # writes under {com}{_kd}; same-mode cells with different flags need their own
@@ -65,6 +75,9 @@ MODE_DIR = {
     "disco_l2": "disco",
     "disco_kd_l2": "disco_kd",
     "v2v_l2": "v2v",
+    "when2com_l2": "when2com",
+    "disco_l2_norsu": "disco",
+    "disco_l2_hv": "disco",
 }
 # eval-only robustness rows (--extra_evals): reuse a trained base
 # checkpoint, re-evaluate with extra test flags — the paper's pose-noise
@@ -129,6 +142,7 @@ def run_cell(name, seed, args, results, out_path):
         name, resume, [], args, logpath, log_file))
     if trained:  # on a resumed cell t0-to-now is eval time, not training
         cell["train_s"] = round(time.time() - t0, 1)
+    cell["prov"] = provenance(args, extra)
     results[key] = cell
     save_results(results, out_path)
     print(f"[done] {key}: {results[key]}", flush=True)
@@ -174,9 +188,11 @@ def run_extra_evals(args, results, out_path):
             if not os.path.exists(resume):
                 print(f"[miss] {key}: no {resume}")
                 continue
-            results[key] = with_retries(key, lambda: run_eval(
+            cell = with_retries(key, lambda: run_eval(
                 base, resume, flags, args, logpath,
                 os.path.join(logpath, f"{name}.log")))
+            cell["prov"] = provenance(args, CONFIGS[base])
+            results[key] = cell
             save_results(results, out_path)
             print(f"[done] {key}: {results[key]}", flush=True)
 
@@ -225,7 +241,8 @@ def run_track_evals(args, results, out_path):
             if not m:
                 raise RuntimeError(f"no CLEAR-MOT avg row for {key} "
                                    f"(see {log_file})")
-            results[key] = {"MOTA": float(m.group(1)), "MOTP": float(m.group(2))}
+            results[key] = {"MOTA": float(m.group(1)), "MOTP": float(m.group(2)),
+                            "prov": provenance(args, CONFIGS[base])}
             save_results(results, out_path)
             print(f"[done] {key}: {results[key]}", flush=True)
 
@@ -251,7 +268,17 @@ def summarize(results, configs, seeds):
                    ("disco", "lowerbound"), ("disco_kd", "lowerbound"),
                    ("v2v", "when2com"), ("disco", "disco_norsu"),
                    ("disco_l2", "disco"), ("disco_l2", "lowerbound"),
-                   ("disco_kd_l2", "disco_kd"), ("v2v_l2", "v2v")]:
+                   ("disco_kd_l2", "disco_kd"), ("v2v_l2", "v2v"),
+                   # cross-model claims at the resolution-matched point
+                   # (paper Table 1: when2com < lowerbound < v2v ~ disco)
+                   ("v2v_l2", "lowerbound"), ("disco_l2", "v2v_l2"),
+                   ("v2v_l2", "when2com_l2"), ("when2com_l2", "lowerbound"),
+                   ("disco_l2", "when2com_l2"),
+                   # rsu ablation + HEAD trajectory validation
+                   ("disco_norsu", "lowerbound"),
+                   ("disco_l2", "disco_l2_norsu"),
+                   ("disco_l2_norsu", "lowerbound"),
+                   ("disco_l2_hv", "lowerbound"), ("disco_l2_hv", "disco_l2")]:
         if hi in rows and lo in rows:
             gap_vs_noise(f"{hi} - {lo}", rows[hi][1], rows[lo][1])
 

@@ -28,7 +28,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from _bench_harness import (  # noqa: E402
-    gap_vs_noise, gen_synthetic, load_results, save_results, sh, with_retries)
+    gap_vs_noise, gen_synthetic, load_results, provenance, save_results, sh,
+    with_retries)
 
 MIOU_RE = re.compile(r"mIoU \|\s+([\d.]+)")
 CLASS_RE = re.compile(r"^\s*(\w+) \|\s+([\d.]+)\s*$", re.M)
@@ -66,6 +67,7 @@ def run_cell(backbone, seed, args, results, out_path):
         "mIoU": float(m.group(1)),
         "iou": {c: float(v) for c, v in CLASS_RE.findall(stdout) if c != "mIoU"},
         "train_s": round(time.time() - t0, 1),
+        "prov": provenance(args, common),
     }
     save_results(results, out_path)
     print(f"[done] {key}: mIoU {results[key]['mIoU']}", flush=True)

@@ -39,7 +39,9 @@ def main(argv=None):
     p.add_argument("--rsu", type=int, default=1)
     p.add_argument("--layer", type=int, default=None,
                    help="fusion layer index (default: config.default_fusion_layer; "
-                        "must match the checkpoint's training value)")
+                        "must match the checkpoint's training value — a checkpoint "
+                        "trained under the old fixed default needs an explicit "
+                        "--layer 3 or restore fails on fusion_channels shape)")
     p.add_argument("--seg_backbone", type=str, default="unet", choices=["unet", "stpn"],
                    help="seg architecture (SURVEY.md C19): reference-topology UNet "
                         "or the det STPN pyramid + 1x1 SegHead (A/B in BASELINE.md)")
@@ -50,6 +52,11 @@ def main(argv=None):
     args = p.parse_args(argv)
     if args.layer is None:
         args.layer = default_fusion_layer(args.grid)
+        if args.layer != 3:  # same notice as det's CLIs (ADVICE r3): a silent
+            # resolution makes the checkpoint-shape mismatch error confusing
+            print(f"--layer auto: {args.layer} (fusion map >=16x16 at "
+                  f"--grid {args.grid}; pass --layer 3 for the reference index "
+                  f"/ checkpoints trained under the old fixed default)")
 
     over = dict(fusion_layer=args.layer, seg_backbone=args.seg_backbone)
     cfg = Config(**over) if args.grid == 256 else tiny_config(args.grid, **over)

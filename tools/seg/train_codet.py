@@ -36,7 +36,9 @@ def parse_args(argv=None):
     p.add_argument("--nepoch", type=int, default=100)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--layer", type=int, default=None,
-                   help="fusion layer index (default: config.default_fusion_layer)")
+                   help="fusion layer index (default: config.default_fusion_layer; "
+                        "resuming a checkpoint requires the value it was "
+                        "trained with)")
     p.add_argument("--seg_backbone", type=str, default="unet", choices=["unet", "stpn"],
                    help="seg architecture (SURVEY.md C19): reference-topology UNet "
                         "or the det STPN pyramid + 1x1 SegHead (A/B in BASELINE.md)")
@@ -62,6 +64,9 @@ def parse_args(argv=None):
     args = p.parse_args(argv)
     if args.layer is None:
         args.layer = default_fusion_layer(args.grid)
+        if args.layer != 3:  # notice matches det's CLIs (ADVICE r3)
+            print(f"--layer auto: {args.layer} (fusion map >=16x16 at "
+                  f"--grid {args.grid}; pass --layer 3 for the reference index)")
     return args
 
 
