@@ -137,24 +137,37 @@ def save_results(results: dict, out_path: str) -> None:
         os.replace(tmp, out_path)
 
 
-def gap_vs_noise(label: str, hi, lo) -> str:
-    """Print an ordering claim checked against its own noise floor: the gap
-    between two seed-arrays of a metric vs the combined per-point std.
+def ordering_stats(hi, lo) -> dict:
+    """Pure ordering-claim statistics: gap between two seed-arrays of a
+    metric, combined per-point std, and the verdict.
 
-    A single seed has std 0, so any nonzero gap would print SIGNIFICANT — a
+    A single seed has std 0, so any nonzero gap would read SIGNIFICANT — a
     pure artifact (VERDICT r2 weak #3). With n < 2 on either side there is no
-    noise estimate, so no verdict is issued. Returns the verdict string so
-    tests can assert on it."""
+    noise estimate, so no verdict is issued. Single source of the semantics
+    for both the console summarize (gap_vs_noise) and the markdown renderer
+    (tools/results_to_md.py --orderings)."""
     import numpy as np
 
     hi, lo = np.asarray(hi), np.asarray(lo)
     gap = float(np.mean(hi) - np.mean(lo))
-    if len(hi) < 2 or len(lo) < 2:
-        verdict = "no verdict (n<2)"
-        print(f"  {label}: {gap:+.4f} (n={len(hi)} vs n={len(lo)}) -> {verdict}")
-        return verdict
+    n_hi, n_lo = len(hi), len(lo)
+    if n_hi < 2 or n_lo < 2:
+        return {"gap": gap, "noise": None, "n_hi": n_hi, "n_lo": n_lo,
+                "verdict": "no verdict (n<2)"}
     noise = float(np.sqrt(np.std(hi) ** 2 + np.std(lo) ** 2))
     verdict = "SIGNIFICANT" if abs(gap) > noise else "within noise"
-    print(f"  {label}: {gap:+.4f} (noise {noise:.4f}, "
-          f"n={len(hi)} vs n={len(lo)}) -> {verdict}")
-    return verdict
+    return {"gap": gap, "noise": noise, "n_hi": n_hi, "n_lo": n_lo,
+            "verdict": verdict}
+
+
+def gap_vs_noise(label: str, hi, lo) -> str:
+    """Print an ordering claim checked against its own noise floor; returns
+    the verdict string so tests can assert on it."""
+    s = ordering_stats(hi, lo)
+    if s["noise"] is None:
+        print(f"  {label}: {s['gap']:+.4f} (n={s['n_hi']} vs n={s['n_lo']}) "
+              f"-> {s['verdict']}")
+    else:
+        print(f"  {label}: {s['gap']:+.4f} (noise {s['noise']:.4f}, "
+              f"n={s['n_hi']} vs n={s['n_lo']}) -> {s['verdict']}")
+    return s["verdict"]

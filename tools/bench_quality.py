@@ -93,6 +93,39 @@ EXTRA_EVALS = {
     "disco_kd+latefuse": ("disco_kd", ["--apply_late_fusion", "1"]),
 }
 
+# (hi, lo) ordering claims checked by --summarize and rendered to markdown by
+# tools/results_to_md.py --orderings (one source so BASELINE.md cannot drift
+# from the artifact — the r2/r3 doc-drift failure class)
+ORDERINGS = [
+    ("upperbound", "lowerbound"), ("disco_kd", "disco"),
+    ("disco", "lowerbound"), ("disco_kd", "lowerbound"),
+    ("v2v", "when2com"), ("disco", "disco_norsu"),
+    ("disco_l2", "disco"), ("disco_l2", "lowerbound"),
+    ("disco_kd_l2", "disco_kd"), ("disco_kd_l2", "disco_l2"),
+    ("disco_kd_l2", "lowerbound"), ("v2v_l2", "v2v"),
+    # cross-model claims at the resolution-matched point
+    # (paper Table 1: when2com < lowerbound < v2v ~ disco)
+    ("v2v_l2", "lowerbound"), ("disco_l2", "v2v_l2"),
+    ("v2v_l2", "when2com_l2"), ("when2com_l2", "lowerbound"),
+    ("disco_l2", "when2com_l2"),
+    # rsu ablation + HEAD trajectory validation
+    ("disco_norsu", "lowerbound"),
+    ("disco_l2", "disco_l2_norsu"), ("disco_l2_norsu", "lowerbound"),
+    ("disco_l2_hv", "lowerbound"), ("disco_l2_hv", "disco_l2"),
+    # robustness (--extra_evals): collaboration under the paper's pose noise
+    # (0.4 m / 4 deg) must still beat no-collaboration, and the cost of the
+    # noise itself is the gap to the clean row
+    ("disco_kd+noise", "lowerbound"), ("disco_kd", "disco_kd+noise"),
+    ("disco+noise", "lowerbound"), ("disco_kd+latefuse", "disco_kd"),
+]
+
+# MOTA ordering claims over the --track_evals rows (same machinery)
+TRACK_ORDERINGS = [
+    ("disco_kd+track", "lowerbound+track"),
+    ("disco_kd+track", "disco+track"),
+    ("disco+track", "lowerbound+track"),
+]
+
 AVG_RE = re.compile(r"average \|\s+([\d.]+) \|\s+([\d.]+) \|\s+(\d+) \|\s+(\d+)")
 # eval_mot.py's "avg" row: MOTA (can be negative) then MOTP
 MOT_AVG_RE = re.compile(r"avg \|\s+(-?[\d.]+) \|\s+([\d.]+)")
@@ -264,21 +297,7 @@ def summarize(results, configs, seeds):
               f"{m7.mean():.4f} +/- {m7.std():.4f}  {len(vals)}")
     # the paper's ordering claims (SURVEY.md §6), checked against noise
     print("\nordering checks (gap vs combined std, mAP@0.7):")
-    for hi, lo in [("upperbound", "lowerbound"), ("disco_kd", "disco"),
-                   ("disco", "lowerbound"), ("disco_kd", "lowerbound"),
-                   ("v2v", "when2com"), ("disco", "disco_norsu"),
-                   ("disco_l2", "disco"), ("disco_l2", "lowerbound"),
-                   ("disco_kd_l2", "disco_kd"), ("v2v_l2", "v2v"),
-                   # cross-model claims at the resolution-matched point
-                   # (paper Table 1: when2com < lowerbound < v2v ~ disco)
-                   ("v2v_l2", "lowerbound"), ("disco_l2", "v2v_l2"),
-                   ("v2v_l2", "when2com_l2"), ("when2com_l2", "lowerbound"),
-                   ("disco_l2", "when2com_l2"),
-                   # rsu ablation + HEAD trajectory validation
-                   ("disco_norsu", "lowerbound"),
-                   ("disco_l2", "disco_l2_norsu"),
-                   ("disco_l2_norsu", "lowerbound"),
-                   ("disco_l2_hv", "lowerbound"), ("disco_l2_hv", "disco_l2")]:
+    for hi, lo in ORDERINGS:
         if hi in rows and lo in rows:
             gap_vs_noise(f"{hi} - {lo}", rows[hi][1], rows[lo][1])
 
@@ -295,10 +314,12 @@ def summarize(results, configs, seeds):
         for base, (mota, motp) in mot_rows.items():
             print(f"{base:<12} {mota.mean():.4f} +/- {mota.std():.4f} "
                   f"{motp.mean():.4f} +/- {motp.std():.4f}  {len(mota)}")
-        if "disco" in mot_rows and "lowerbound" in mot_rows:
-            print("\nordering checks (MOTA):")
-            gap_vs_noise("disco - lowerbound",
-                         mot_rows["disco"][0], mot_rows["lowerbound"][0])
+        print("\nordering checks (MOTA):")
+        for hi, lo in TRACK_ORDERINGS:
+            hi_b, lo_b = hi.split("+")[0], lo.split("+")[0]
+            if hi_b in mot_rows and lo_b in mot_rows:
+                gap_vs_noise(f"{hi_b} - {lo_b}",
+                             mot_rows[hi_b][0], mot_rows[lo_b][0])
     return rows
 
 

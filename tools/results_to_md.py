@@ -51,14 +51,49 @@ def render(results: dict, metrics: list[str]) -> str:
     return "\n".join(lines)
 
 
+def render_orderings(results: dict, metric: str = "mAP@0.7") -> str:
+    """The ordering-verdict table (bench_quality --summarize) as markdown,
+    from the same ORDERINGS list and ordering_stats semantics — so the
+    BASELINE.md verdict table regenerates from the artifact instead of being
+    hand-assembled from console output (the r2/r3 doc-drift failure class)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from _bench_harness import ordering_stats
+    from bench_quality import ORDERINGS, TRACK_ORDERINGS
+
+    pairs = TRACK_ORDERINGS if metric == "MOTA" else ORDERINGS
+    rows = group(results)
+    lines = [f"| claim ({metric}) | gap | noise | verdict |",
+             "|---|---|---|---|"]
+    for hi, lo in pairs:
+        if hi not in rows or lo not in rows:
+            continue
+        s = ordering_stats([c[metric] for c in rows[hi] if metric in c],
+                           [c[metric] for c in rows[lo] if metric in c])
+        noise = f"{s['noise']:.4f}" if s["noise"] is not None else "—"
+        verdict = (f"**{s['verdict']}**" if s["verdict"] == "SIGNIFICANT"
+                   else s["verdict"])
+        lines.append(f"| {hi} − {lo} | {s['gap']:+.4f} | {noise} | {verdict} "
+                     f"(n={s['n_hi']} vs {s['n_lo']}) |")
+    return "\n".join(lines)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("path")
     p.add_argument("--metric", nargs="+", default=None,
                    help="metrics to tabulate (default: auto-detect mAP/MOT/mIoU keys)")
+    p.add_argument("--orderings", action="store_true",
+                   help="render the ordering-verdict table (bench_quality "
+                        "ORDERINGS x ordering_stats) instead of the cell table")
     args = p.parse_args(argv)
     with open(args.path) as f:
         results = json.load(f)
+    if args.orderings:
+        print(render_orderings(results, (args.metric or ["mAP@0.7"])[0]))
+        return
     metrics = args.metric
     if metrics is None:
         seen = {k for cell in results.values() for k in cell}
