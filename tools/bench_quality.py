@@ -99,7 +99,8 @@ EXTRA_EVALS = {
 ORDERINGS = [
     ("upperbound", "lowerbound"), ("disco_kd", "disco"),
     ("disco", "lowerbound"), ("disco_kd", "lowerbound"),
-    ("v2v", "when2com"), ("disco", "disco_norsu"),
+    ("v2v", "when2com"), ("when2com", "lowerbound"),
+    ("disco", "disco_norsu"),
     ("disco_l2", "disco"), ("disco_l2", "lowerbound"),
     ("disco_kd_l2", "disco_kd"), ("disco_kd_l2", "disco_l2"),
     ("disco_kd_l2", "lowerbound"), ("v2v_l2", "v2v"),

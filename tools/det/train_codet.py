@@ -96,6 +96,15 @@ def parse_args(argv=None):
     p.add_argument("--ckpt_keep", type=int, default=5,
                    help="orbax checkpoints retained (0 = keep all; epoch_N.pth exports are never pruned)")
     p.add_argument("--cache_items", type=int, default=256, help="in-memory dataset item cache")
+    p.add_argument("--max_pos", type=int, default=0,
+                   help="override config.max_pos_anchors (P, the padded "
+                        "positive-site capacity per agent-frame; 0 = config "
+                        "default 2048). The packed loss gathers/scatters P "
+                        "rows per agent-frame, so a P sized to the data's "
+                        "true positive max trims dead loss traffic "
+                        "(tools/bench_train.py sweep, docs/performance.md); "
+                        "the dataset warns if any frame overflows and drops "
+                        "the excess positives")
     p.add_argument("--kd_cache", type=int, default=1,
                    help="precompute frozen-teacher KD features once into HBM and gather "
                         "per step (1) vs re-forward the teacher every step (0); "
@@ -123,6 +132,8 @@ def make_config(args) -> Config:
         over["train_remat"] = True
     if getattr(args, "num_classes", 2) != 2:
         over["num_classes"] = args.num_classes
+    if getattr(args, "max_pos", 0):
+        over["max_pos_anchors"] = args.max_pos
     return Config(**over) if args.grid == 256 else tiny_config(args.grid, **over)
 
 
