@@ -128,6 +128,29 @@ TRACK_ORDERINGS = [
 ]
 
 AVG_RE = re.compile(r"average \|\s+([\d.]+) \|\s+([\d.]+) \|\s+(\d+) \|\s+(\d+)")
+EPOCH_LOSS_RE = re.compile(r"epoch \d+ done .*?(?<![\w])loss=([\d.eE+-]+)")
+
+
+def epoch_loss_stats(log_file: str) -> dict:
+    """{final, min} end-of-epoch train loss parsed from the cell's train log.
+
+    Observational save-point-quality stamp: the matrix trains with
+    final-epoch-only checkpoints (cost, docs/benchmarking.md), which couples
+    each cell to the state after its very last optimizer dispatch. Observed
+    once at 256-grid (disco/seed1): epochs converged to loss 0.006, the last
+    dispatch spiked to 0.255 (grad_norm 1.7), and the checkpoint saved
+    mid-spike scored 0.197 mAP@0.7 vs the clean seed's 0.537. A cell whose
+    ``final_epoch_loss`` is ≫ its ``min_epoch_loss`` documents that the
+    saved weights are off-trajectory — the row stays in the artifact, the
+    stamp explains it."""
+    try:
+        with open(log_file) as f:
+            losses = [float(m.group(1)) for m in EPOCH_LOSS_RE.finditer(f.read())]
+    except OSError:
+        losses = []
+    if not losses:
+        return {}
+    return {"final_epoch_loss": losses[-1], "min_epoch_loss": min(losses)}
 # eval_mot.py's "avg" row: MOTA (can be negative) then MOTP
 MOT_AVG_RE = re.compile(r"avg \|\s+(-?[\d.]+) \|\s+([\d.]+)")
 # configs whose checkpoints get the tracking pipeline (--track_evals)
@@ -176,6 +199,7 @@ def run_cell(name, seed, args, results, out_path):
         name, resume, [], args, logpath, log_file))
     if trained:  # on a resumed cell t0-to-now is eval time, not training
         cell["train_s"] = round(time.time() - t0, 1)
+        cell.update(epoch_loss_stats(log_file))
     cell["prov"] = provenance(args, extra)
     results[key] = cell
     save_results(results, out_path)
