@@ -88,9 +88,30 @@ def main(argv=None):
     p.add_argument("--orderings", action="store_true",
                    help="render the ordering-verdict table (bench_quality "
                         "ORDERINGS x ordering_stats) instead of the cell table")
+    p.add_argument("--max_loss_ratio", type=float, default=0,
+                   help="sensitivity filter: drop cells whose final_epoch_loss "
+                        "exceeds R x min_epoch_loss (an off-trajectory save — "
+                        "the checkpoint captured a final-dispatch loss spike, "
+                        "see bench_quality.epoch_loss_stats). 0 = keep all. "
+                        "Dropped cells are listed on stderr; report verdicts "
+                        "both with and without the filter")
     args = p.parse_args(argv)
     with open(args.path) as f:
         results = json.load(f)
+    if args.max_loss_ratio:
+        import sys as _sys
+
+        def _spiked(cell):
+            f, m = cell.get("final_epoch_loss"), cell.get("min_epoch_loss")
+            return f and m and f > args.max_loss_ratio * m
+
+        dropped = [k for k, v in results.items()
+                   if isinstance(v, dict) and _spiked(v)]
+        for k in dropped:
+            c = results.pop(k)
+            print(f"[excluded] {k}: final_epoch_loss {c['final_epoch_loss']} > "
+                  f"{args.max_loss_ratio} x min {c['min_epoch_loss']}",
+                  file=_sys.stderr)
     if args.orderings:
         print(render_orderings(results, (args.metric or ["mAP@0.7"])[0]))
         return
