@@ -50,6 +50,26 @@ def test_save_results_merges_with_disk(tmp_path):
     assert "cellB/seed0" in a
 
 
+def test_epoch_loss_stats_parses_loss_not_cls_loss(tmp_path):
+    """The save-point stamp must read the TOTAL end-of-epoch loss: a naive
+    'loss=' regex matches the 'cls_loss=' substring first and hid the
+    observed 43x final-dispatch spike behind a healthy-looking cls term."""
+    import bench_quality
+
+    log = tmp_path / "cell.log"
+    log.write_text(
+        "[ 1.0s] epoch 1 done step 48: cls_loss=0.00547 grad_norm=0.6 "
+        "loss=0.42639 reg_loss=0.21 scenes_per_sec=3.0\n"
+        "[ 2.0s] epoch 2 step 90: cls_loss=0.1 loss=9.9 reg_loss=0.1\n"  # mid-epoch: ignored
+        "[ 2.5s] epoch 2 done step 96: cls_loss=0.00041 grad_norm=0.2 "
+        "loss=0.00599 reg_loss=0.003 scenes_per_sec=40.0\n"
+        "[ 3.0s] epoch 3 done step 144: cls_loss=0.00137 grad_norm=1.7 "
+        "loss=0.25530 reg_loss=0.127 scenes_per_sec=22.8\n")
+    st = bench_quality.epoch_loss_stats(str(log))
+    assert st == {"final_epoch_loss": 0.2553, "min_epoch_loss": 0.00599}
+    assert bench_quality.epoch_loss_stats(str(tmp_path / "missing.log")) == {}
+
+
 def test_provenance_stamps_sha_protocol_and_loss_path():
     """VERDICT r3 #6: every cell must self-describe — the round-3 matrix ran
     from a pinned worktree while HEAD changed the loss path, and nothing in
