@@ -70,6 +70,24 @@ def test_epoch_loss_stats_parses_loss_not_cls_loss(tmp_path):
     assert bench_quality.epoch_loss_stats(str(tmp_path / "missing.log")) == {}
 
 
+def test_epoch_loss_stats_nonfinite_final_epoch_flags_cell(tmp_path):
+    """A diverged final epoch prints 'loss=nan'; it must become the JSON-safe
+    NONFINITE_LOSS sentinel, not silently fall back to the last finite
+    epoch's healthy value (which would evade --max_loss_ratio exactly when
+    the save is most broken)."""
+    import bench_quality
+
+    log = tmp_path / "cell.log"
+    log.write_text(
+        "[ 1.0s] epoch 1 done step 48: cls_loss=0.005 grad_norm=0.6 "
+        "loss=0.00600 reg_loss=0.21 scenes_per_sec=3.0\n"
+        "[ 2.0s] epoch 2 done step 96: cls_loss=nan grad_norm=nan "
+        "loss=nan reg_loss=nan scenes_per_sec=40.0\n")
+    st = bench_quality.epoch_loss_stats(str(log))
+    assert st["final_epoch_loss"] == bench_quality.NONFINITE_LOSS
+    assert st["min_epoch_loss"] == 0.006
+
+
 def test_provenance_stamps_sha_protocol_and_loss_path():
     """VERDICT r3 #6: every cell must self-describe — the round-3 matrix ran
     from a pinned worktree while HEAD changed the loss path, and nothing in
@@ -78,10 +96,16 @@ def test_provenance_stamps_sha_protocol_and_loss_path():
 
     args = argparse.Namespace(grid=64, nepoch=100)
     p = provenance(args, ["--com", "disco", "--layer", "2"])
-    assert set(p) == {"sha", "grid", "nepoch", "layer", "loss_path"}
+    assert set(p) == {"sha", "grid", "nepoch", "layer", "loss_path", "stage"}
     assert p["grid"] == 64 and p["nepoch"] == 100 and p["layer"] == 2
     # this repo is a git checkout and config.py declares packed_loss
     assert p["sha"] not in ("", "unknown") and len(p["sha"]) >= 7
     assert p["loss_path"] in ("packed", "view")
+    assert p["stage"] == "train"  # default
     # flags without --layer -> layer None (CLI default applies)
     assert provenance(args, ["--bound", "lowerbound"])["layer"] is None
+    # eval of an earlier-trained checkpoint must not claim train provenance
+    assert provenance(args, [], stage="eval-only")["stage"] == "eval-only"
+    # seg (cross-entropy) overrides the det packed/view vocabulary
+    assert (provenance(args, [], loss_path="n/a (seg CE)")["loss_path"]
+            == "n/a (seg CE)")

@@ -51,6 +51,30 @@ def test_render_orderings_verdicts():
     assert "| v2v − when2com | +0.0150 | — | no verdict (n<2) (n=1 vs 2) |" in md
 
 
+def test_max_loss_ratio_drops_zero_min_and_nonfinite_cells(tmp_path, capsys):
+    """min_epoch_loss == 0.0 (fully converged, '%.5f' prints 0.00000) must
+    not disable the spike filter via truthiness, and the NONFINITE_LOSS
+    sentinel (diverged final epoch) must always be dropped."""
+    import json
+
+    from results_to_md import main
+
+    res = {
+        "a/seed0": {"mAP@0.7": 0.5, "final_epoch_loss": 0.4,
+                    "min_epoch_loss": 0.0},            # spike over a 0.0 min
+        "b/seed0": {"mAP@0.7": 0.5, "final_epoch_loss": 1e30,
+                    "min_epoch_loss": 1e30},           # diverged from epoch 1
+        "c/seed0": {"mAP@0.7": 0.5, "final_epoch_loss": 0.01,
+                    "min_epoch_loss": 0.009},          # healthy
+    }
+    path = tmp_path / "r.json"
+    path.write_text(json.dumps(res))
+    main([str(path), "--max_loss_ratio", "10", "--metric", "mAP@0.7"])
+    out = capsys.readouterr().out
+    assert "| c |" in out
+    assert "| a |" not in out and "| b |" not in out
+
+
 def test_render_orderings_mota_uses_track_pairs():
     md = render_orderings(_results(), "MOTA")
     assert ("| disco_kd+track − lowerbound+track | +0.1100 | 0.0071 | "

@@ -20,7 +20,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def provenance(args, flags=()) -> dict:
+def provenance(args, flags=(), stage="train", loss_path=None) -> dict:
     """Code-version + protocol stamp for a result cell (VERDICT r3 #6).
 
     The round-3 matrix ran from a worktree pinned at one sha while HEAD moved
@@ -32,7 +32,15 @@ def provenance(args, flags=()) -> dict:
     since the harness runs the CLIs as subprocesses of this checkout —
     importing the package here would drag jax into the orchestrator).
     Cells WITHOUT a ``prov`` entry predate this stamp: they ran at 90bb8fc
-    (view-path loss, 64-grid, nepoch 100 — see results/README.md)."""
+    (view-path loss, 64-grid, nepoch 100 — see results/README.md).
+
+    ``stage`` qualifies what the sha/loss_path describe: ``"train"`` = the
+    cell trained under this checkout in this run; ``"eval-only"`` /
+    ``"eval-resume"`` = only the evaluation ran here — the checkpoint may
+    have been trained earlier under different code, and this stamp must not
+    claim otherwise (the exact misattribution VERDICT r3 #6 is about).
+    ``loss_path`` overrides the config-derived value (e.g. seg cells train
+    cross-entropy; the det packed/view distinction does not apply)."""
     try:
         sha = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
                              capture_output=True, text=True, cwd=REPO,
@@ -42,15 +50,18 @@ def provenance(args, flags=()) -> dict:
     flags = list(flags)
     layer = (int(flags[flags.index("--layer") + 1])
              if "--layer" in flags else None)
-    try:
-        with open(os.path.join(REPO, "disconet_tpu", "config.py")) as f:
-            m = re.search(r"packed_loss:\s*bool\s*=\s*(True|False)", f.read())
-        loss_path = ("packed" if m and m.group(1) == "True" else "view")
-    except OSError:
-        loss_path = "unknown"
+    if loss_path is None:
+        try:
+            with open(os.path.join(REPO, "disconet_tpu", "config.py")) as f:
+                m = re.search(r"packed_loss:\s*bool\s*=\s*(True|False)", f.read())
+            # regex miss -> honest "unknown", never a confident wrong value
+            loss_path = ("unknown" if m is None
+                         else "packed" if m.group(1) == "True" else "view")
+        except OSError:
+            loss_path = "unknown"
     return {"sha": sha, "grid": getattr(args, "grid", None),
             "nepoch": getattr(args, "nepoch", None), "layer": layer,
-            "loss_path": loss_path}
+            "loss_path": loss_path, "stage": stage}
 
 
 def sh(cmd, log_file, capture: bool = False) -> str:

@@ -128,7 +128,12 @@ TRACK_ORDERINGS = [
 ]
 
 AVG_RE = re.compile(r"average \|\s+([\d.]+) \|\s+([\d.]+) \|\s+(\d+) \|\s+(\d+)")
-EPOCH_LOSS_RE = re.compile(r"epoch \d+ done .*?(?<![\w])loss=([\d.eE+-]+)")
+EPOCH_LOSS_RE = re.compile(
+    r"epoch \d+ done .*?(?<![\w])loss=([\d.eE+-]+|-?nan|-?inf)")
+# JSON-safe stand-in for a nan/inf epoch loss: large enough that any
+# --max_loss_ratio filter flags the cell (a diverged save is the most
+# off-trajectory save there is), and representable in strict JSON
+NONFINITE_LOSS = 1e30
 
 
 def epoch_loss_stats(log_file: str) -> dict:
@@ -143,6 +148,8 @@ def epoch_loss_stats(log_file: str) -> dict:
     ``final_epoch_loss`` is ≫ its ``min_epoch_loss`` documents that the
     saved weights are off-trajectory — the row stays in the artifact, the
     stamp explains it."""
+    import math
+
     try:
         with open(log_file) as f:
             losses = [float(m.group(1)) for m in EPOCH_LOSS_RE.finditer(f.read())]
@@ -150,6 +157,9 @@ def epoch_loss_stats(log_file: str) -> dict:
         losses = []
     if not losses:
         return {}
+    # a nan/inf epoch (MetricLogger prints '%.5f' -> 'nan') must flag the
+    # cell, not silently fall back to the last finite epoch's healthy value
+    losses = [x if math.isfinite(x) else NONFINITE_LOSS for x in losses]
     return {"final_epoch_loss": losses[-1], "min_epoch_loss": min(losses)}
 # eval_mot.py's "avg" row: MOTA (can be negative) then MOTP
 MOT_AVG_RE = re.compile(r"avg \|\s+(-?[\d.]+) \|\s+([\d.]+)")
@@ -199,8 +209,13 @@ def run_cell(name, seed, args, results, out_path):
         name, resume, [], args, logpath, log_file))
     if trained:  # on a resumed cell t0-to-now is eval time, not training
         cell["train_s"] = round(time.time() - t0, 1)
-        cell.update(epoch_loss_stats(log_file))
-    cell["prov"] = provenance(args, extra)
+    # loss stats are observational from the persisted log — stamp them even
+    # when training happened in an earlier (crashed) session, so a mid-spike
+    # save can never evade --max_loss_ratio by interrupting the harness
+    cell.update(epoch_loss_stats(log_file))
+    # a resumed-checkpoint eval must not claim this checkout trained it
+    cell["prov"] = provenance(args, extra,
+                              stage="train" if trained else "eval-resume")
     results[key] = cell
     save_results(results, out_path)
     print(f"[done] {key}: {results[key]}", flush=True)
@@ -249,7 +264,7 @@ def run_extra_evals(args, results, out_path):
             cell = with_retries(key, lambda: run_eval(
                 base, resume, flags, args, logpath,
                 os.path.join(logpath, f"{name}.log")))
-            cell["prov"] = provenance(args, CONFIGS[base])
+            cell["prov"] = provenance(args, CONFIGS[base], stage="eval-only")
             results[key] = cell
             save_results(results, out_path)
             print(f"[done] {key}: {results[key]}", flush=True)
@@ -300,7 +315,8 @@ def run_track_evals(args, results, out_path):
                 raise RuntimeError(f"no CLEAR-MOT avg row for {key} "
                                    f"(see {log_file})")
             results[key] = {"MOTA": float(m.group(1)), "MOTP": float(m.group(2)),
-                            "prov": provenance(args, CONFIGS[base])}
+                            "prov": provenance(args, CONFIGS[base],
+                                               stage="eval-only")}
             save_results(results, out_path)
             print(f"[done] {key}: {results[key]}", flush=True)
 

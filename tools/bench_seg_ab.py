@@ -67,7 +67,9 @@ def run_cell(backbone, seed, args, results, out_path):
         "mIoU": float(m.group(1)),
         "iou": {c: float(v) for c, v in CLASS_RE.findall(stdout) if c != "mIoU"},
         "train_s": round(time.time() - t0, 1),
-        "prov": provenance(args, common),
+        # seg trains cross-entropy — the det packed/view loss_path does not
+        # apply (matches the artifact's backfilled _provenance vocabulary)
+        "prov": provenance(args, common, loss_path="n/a (seg CE)"),
     }
     save_results(results, out_path)
     print(f"[done] {key}: mIoU {results[key]['mIoU']}", flush=True)

@@ -12,15 +12,21 @@ kernels whose byte counts are exact:
   * axpy: x = x * c + y     (2R + 1W)
 
 Each kernel runs K iterations of a ``lax.fori_loop`` inside ONE jit dispatch
-(sequential data dependence, so XLA cannot fold the loop; iterations are not
-inter-fused, so each materializes x to HBM). Timing follows the repo rule for
+(sequential data dependence through x). Timing follows the repo rule for
 the tunneled TPU (CLAUDE.md): a scalar checksum is fetched every call, and
 the per-iteration cost is taken from the SLOPE between a K_lo and a K_hi run
 — dispatch floor, checksum reduction, and tunnel RTT cancel in the
 difference.
 
-Prints one JSON line: achieved GB/s per kernel + the fraction of datasheet
-peak, e.g. {"incr_GBs": 706.2, "axpy_GBs": 711.9, "peak_frac": 0.87, ...}.
+Measured caveat (v5e, 2026-08-20): ``incr`` behaves as a true stream
+(639-646 GB/s across 256 MiB-1 GiB buffers), but ``axpy`` reports ABOVE the
+datasheet peak — XLA partially fuses its loop iterations (y is loop-constant),
+so its byte count is overstated. ``peak_frac`` therefore derives from
+``incr`` ONLY; axpy is reported for transparency and ignored whenever its
+rate exceeds the datasheet (fused) or its slope is non-positive (jitter).
+
+Prints one JSON line, e.g. {"incr_GBs": 639.2, "axpy_GBs": 1010.8,
+"axpy_fused": true, "peak_frac": 0.78, ...} — peak_frac = incr/datasheet.
 
 Usage: python tools/bench_stream.py [--mb 256] [--iters 7]
 """
@@ -88,16 +94,22 @@ def main(argv=None):
 
     report = {"buf_mb": buf_bytes >> 20, "k": [args.k_lo, args.k_hi],
               "datasheet_GBs": DATASHEET_GBS}
-    fracs = []
     for kind in ("incr", "axpy"):
         f_lo, per_iter = make(kind, args.k_lo)
         f_hi, _ = make(kind, args.k_hi)
         t_lo, t_hi = timed(f_lo), timed(f_hi)
+        report[f"{kind}_ms"] = [round(t_lo * 1e3, 2), round(t_hi * 1e3, 2)]
+        if t_hi - t_lo <= 0:  # tunnel jitter swamped the slope: no number
+            report[f"{kind}_GBs"] = None
+            continue
         gbs = per_iter * (args.k_hi - args.k_lo) / (t_hi - t_lo) / 1e9
         report[f"{kind}_GBs"] = round(gbs, 1)
-        report[f"{kind}_ms"] = [round(t_lo * 1e3, 2), round(t_hi * 1e3, 2)]
-        fracs.append(gbs / DATASHEET_GBS)
-    report["peak_frac"] = round(sum(fracs) / len(fracs), 3)
+    # the practical-ceiling claim rests on incr alone (see docstring caveat)
+    incr = report.get("incr_GBs")
+    report["axpy_fused"] = bool(report.get("axpy_GBs")
+                                and report["axpy_GBs"] > DATASHEET_GBS)
+    report["peak_frac"] = (round(incr / DATASHEET_GBS, 3)
+                           if incr and incr > 0 else None)
     print(json.dumps(report))
     return report
 

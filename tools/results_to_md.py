@@ -103,7 +103,11 @@ def main(argv=None):
 
         def _spiked(cell):
             f, m = cell.get("final_epoch_loss"), cell.get("min_epoch_loss")
-            return f and m and f > args.max_loss_ratio * m
+            if f is None or m is None:  # truthiness would let min==0.0 (a
+                return False            # fully-converged cell) disable the
+            # filter for the maximal-spike case
+            return f > args.max_loss_ratio * m or f >= 1e30  # 1e30 = the
+            # harness's JSON-safe stand-in for a nan/inf epoch loss
 
         dropped = [k for k, v in results.items()
                    if isinstance(v, dict) and _spiked(v)]
