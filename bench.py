@@ -42,6 +42,11 @@ AGENTS = 6
 POINTS = 16384  # padded LiDAR points per agent
 WARMUP = 3
 ITERS = 10
+# the reported number is the MEDIAN over this many independently timed
+# windows of ITERS executions: a single window is a tunnel-variance lottery
+# (BENCH_r04 recorded 214.7 while a same-day re-run gave 218.2 — VERDICT r4
+# weak #1); the median of >=5 windows is stable to ~±0.5%
+WINDOWS = int(os.environ.get("BENCH_WINDOWS", "5"))
 
 
 def main():
@@ -109,13 +114,17 @@ def main():
     for _ in range(WARMUP):
         checksum = float(pipeline(*args))
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = pipeline(*args)
-    checksum = float(out)  # device queue is FIFO: syncs all ITERS executions
-    dt = time.perf_counter() - t0
-
-    scenes_per_sec = BATCH * ITERS / dt
+    rates = []
+    for _ in range(WINDOWS):
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out = pipeline(*args)
+        checksum = float(out)  # device queue is FIFO: syncs all ITERS executions
+        rates.append(BATCH * ITERS / (time.perf_counter() - t0))
+    rates.sort()
+    scenes_per_sec = rates[len(rates) // 2] if len(rates) % 2 else (
+        rates[len(rates) // 2 - 1] + rates[len(rates) // 2]) / 2
+    dt = BATCH * ITERS / scenes_per_sec  # median-window time, for the roofline
     # roofline context: compiled FLOPs vs v5e bf16 peak
     flops = None
     try:
@@ -141,6 +150,8 @@ def main():
                 "value": round(scenes_per_sec, 3),
                 "unit": "scenes/s",
                 "vs_baseline": round(vs, 3),
+                "median_of_windows": len(rates),
+                "window_min_max": [round(rates[0], 2), round(rates[-1], 2)],
                 **extra,
             }
         )

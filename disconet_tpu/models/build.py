@@ -39,13 +39,22 @@ def build_model(
     layer: int = 3,
     warp_flag: bool = True,
     task: str = "det",
+    gru_rounds: int = 0,
 ):
     """Instantiate the model for a ``--com`` / ``--bound`` selection.
 
     ``task='seg'`` yields the segmentation variant of the same fusion model
-    (SURVEY.md C19: the seg model zoo mirrors det).
+    (SURVEY.md C19: the seg model zoo mirrors det). ``gru_rounds`` (v2v only)
+    overrides V2VNet's message-passing round count (0 = the model default, 3 —
+    the CLIs' ``--gru_rounds`` ablation knob; a checkpoint must be evaluated
+    with the round count it trained with).
     """
     com = (com or "").lower()
+    if gru_rounds and com != "v2v":
+        raise ValueError(f"--gru_rounds applies to --com v2v only (got '{com}')")
+    if com == "v2v" and gru_rounds:
+        return V2VNet(config=config, kd_flag=kd_flag, layer=layer, task=task,
+                      rounds=gru_rounds)
     if com in ("", "lowerbound", "upperbound", "faf"):
         return FaFNet(config=config, kd_flag=kd_flag, task=task)
     if com == "teacher":

@@ -109,3 +109,91 @@ def test_provenance_stamps_sha_protocol_and_loss_path():
     # seg (cross-entropy) overrides the det packed/view vocabulary
     assert (provenance(args, [], loss_path="n/a (seg CE)")["loss_path"]
             == "n/a (seg CE)")
+
+
+def test_epoch_loss_stats_negative_inf_loss(tmp_path):
+    """ADVICE r4: with the numeric alternative first, 'loss=-inf' matched the
+    bare '-' and float('-') raised — crashing run_cell after the expensive
+    training and before save_results. Both -inf and inf must parse to the
+    NONFINITE_LOSS sentinel."""
+    import bench_quality
+
+    log = tmp_path / "cell.log"
+    log.write_text(
+        "[ 1.0s] epoch 1 done step 48: cls_loss=0.005 grad_norm=0.6 "
+        "loss=0.00600 reg_loss=0.21 scenes_per_sec=3.0\n"
+        "[ 2.0s] epoch 2 done step 96: cls_loss=-inf grad_norm=inf "
+        "loss=-inf reg_loss=-inf scenes_per_sec=40.0\n")
+    st = bench_quality.epoch_loss_stats(str(log))
+    assert st["final_epoch_loss"] == bench_quality.NONFINITE_LOSS
+    assert st["min_epoch_loss"] == 0.006
+
+
+def test_epoch_loss_stats_ignores_earlier_crashed_attempt(tmp_path):
+    """ADVICE r4: with_retries re-runs a crashed train command appending to
+    the same log; min_epoch_loss must come from the LAST attempt's trajectory
+    only (the one whose checkpoint survived), not a discarded earlier run."""
+    import bench_quality
+
+    log = tmp_path / "cell.log"
+    log.write_text(
+        "\n$ python tools/det/train_codet.py --data x --com disco\n"
+        "[ 1.0s] epoch 1 done step 48: loss=0.00100 scenes_per_sec=3.0\n"
+        "crash\n"
+        "\n$ python tools/det/train_codet.py --data x --com disco\n"
+        "[ 1.0s] epoch 1 done step 48: loss=0.50000 scenes_per_sec=3.0\n"
+        "[ 2.0s] epoch 2 done step 96: loss=0.04000 scenes_per_sec=3.0\n"
+        "\n$ python tools/det/test_codet.py --data x --com disco\n")
+    st = bench_quality.epoch_loss_stats(str(log))
+    # 0.001 belongs to the crashed first attempt — it must not be the min
+    assert st == {"final_epoch_loss": 0.04, "min_epoch_loss": 0.04}
+
+
+def test_provenance_layer_flag_guarded():
+    """ADVICE r4: a flags list ending in '--layer' (or a non-integer value)
+    must stamp layer=None instead of raising at stamp time — i.e. after the
+    cell's training completed."""
+    import argparse
+
+    args = argparse.Namespace(grid=64, nepoch=100)
+    assert provenance(args, ["--com", "disco", "--layer"])["layer"] is None
+    assert provenance(args, ["--layer", "auto"])["layer"] is None
+
+
+def test_best_ckpt_stats_parses_last_record_of_last_attempt(tmp_path):
+    """--save_best stamp: the harness reads the train CLI's 'best checkpoint'
+    record line — last write wins, and earlier crashed attempts are ignored
+    like epoch_loss_stats does."""
+    import bench_quality
+
+    log = tmp_path / "cell.log"
+    log.write_text(
+        "\n$ python tools/det/train_codet.py --data x --com disco --save_best 1\n"
+        "best checkpoint: epoch 1 loss=0.90000 -> /x/best.pth\n"
+        "crash\n"
+        "\n$ python tools/det/train_codet.py --data x --com disco --save_best 1\n"
+        "best checkpoint: epoch 50 loss=0.01000 -> /x/best.pth\n"
+        "best checkpoint: epoch 97 loss=0.00599 -> /x/best.pth\n")
+    st = bench_quality.best_ckpt_stats(str(log))
+    assert st == {"best_epoch": 97, "best_epoch_loss": 0.00599}
+    assert bench_quality.best_ckpt_stats(str(tmp_path / "missing.log")) == {}
+
+
+def test_cell_ckpt_selection(tmp_path):
+    """cell_ckpt: save_best cells measure best.pth, legacy cells the final
+    epoch export; eval-only passes (save_best=None) prefer best.pth exactly
+    when the training cell saved one — so derived rows (tracking, robustness)
+    score the same weights the cell's mAP row did."""
+    import bench_quality
+
+    logpath = str(tmp_path)
+    mode = tmp_path / "disco"  # disco_l2 -> MODE_DIR 'disco'
+    mode.mkdir()
+    best = str(mode / "best.pth")
+    final = str(mode / "epoch_100.pth")
+    assert bench_quality.cell_ckpt(logpath, "disco_l2", 100, True) == best
+    assert bench_quality.cell_ckpt(logpath, "disco_l2", 100, False) == final
+    # eval-only: no best.pth on disk -> final; best.pth on disk -> best
+    assert bench_quality.cell_ckpt(logpath, "disco_l2", 100, None) == final
+    (mode / "best.pth").write_bytes(b"x")
+    assert bench_quality.cell_ckpt(logpath, "disco_l2", 100, None) == best

@@ -145,3 +145,33 @@ def test_multiclass_train_test_cycle(tmp_path):
     per_cls = _re.findall(r"^\s+[123] \|\s+[\d.]+ \|\s+[\d.]+ \|\s+(\d+)", out,
                           _re.MULTILINE)
     assert avg and sum(int(g) for g in per_cls[-3:]) == int(avg.group(1))
+
+
+@pytest.mark.slow
+def test_save_best_exports_min_loss_epoch(data_root, tmp_path):
+    """--save_best (VERDICT r4 weak #2): training exports {logdir}/best.pth
+    holding the min end-of-epoch-loss snapshot, prints the machine-readable
+    record line the quality harness stamps cells with, and the export is a
+    valid eval checkpoint. The recorded best loss must equal the min over the
+    printed end-of-epoch losses."""
+    import re
+
+    logs = str(tmp_path / "logs")
+    common = ["--data", data_root, "--grid", "32", "--batch", "2", "--logpath", logs]
+    out = _run(["tools/det/train_codet.py", *common, "--bound", "lowerbound",
+                "--nepoch", "3", "--log_every", "1", "--save_pth", "0",
+                "--save_best", "1", "--ckpt_every", "3"])
+    best_path = os.path.join(logs, "lowerbound", "best.pth")
+    assert os.path.isfile(best_path)
+    recs = re.findall(r"best checkpoint: epoch (\d+) loss=([\d.eE+-]+)", out)
+    assert recs, out[-2000:]
+    best_epoch, best_loss = int(recs[-1][0]), float(recs[-1][1])
+    ep_losses = {int(e): float(v) for e, v in re.findall(
+        r"epoch (\d+) done .*?(?<![\w])loss=([\d.eE+-]+)", out)}
+    assert len(ep_losses) == 3
+    assert best_loss == min(ep_losses.values())
+    assert ep_losses[best_epoch] == best_loss
+    # the export is a working checkpoint for the eval CLI
+    out = _run(["tools/det/test_codet.py", *common, "--bound", "lowerbound",
+                "--resume", best_path])
+    assert "average" in out

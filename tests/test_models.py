@@ -362,3 +362,23 @@ def test_masked_batchnorm_eval_uses_running_stats():
     np.testing.assert_allclose(  # init stats: mean 0, var 1
         np.asarray(y), np.asarray(x) / np.sqrt(1 + 1e-5), rtol=1e-6
     )
+
+
+def test_v2v_gru_rounds_override():
+    """--gru_rounds (the v2v stability ablation, BASELINE.md): rounds=1 must
+    build with the SAME parameter tree (the ConvGRU/message conv are shared
+    across rounds) but a different forward (fewer message-passing rounds), and
+    the knob must reject non-v2v models."""
+    bev, trans, mask = _inputs()
+    m3 = build_model("v2v", CFG)
+    m1 = build_model("v2v", CFG, gru_rounds=1)
+    assert m3.rounds == 3 and m1.rounds == 1
+    v = m3.init(jax.random.PRNGKey(0), bev, trans, mask, train=False)
+    shapes = jax.tree_util.tree_map(jnp.shape, v)
+    assert jax.tree_util.tree_map(jnp.shape, m1.init(
+        jax.random.PRNGKey(0), bev, trans, mask, train=False)) == shapes
+    out3 = m3.apply(v, bev, trans, mask, train=False)
+    out1 = m1.apply(v, bev, trans, mask, train=False)  # same params, 1 round
+    assert not np.allclose(np.asarray(out3["cls"]), np.asarray(out1["cls"]))
+    with pytest.raises(ValueError):
+        build_model("disco", CFG, gru_rounds=1)

@@ -80,3 +80,17 @@ def test_render_orderings_mota_uses_track_pairs():
     assert ("| disco_kd+track − lowerbound+track | +0.1100 | 0.0071 | "
             "**SIGNIFICANT** (n=2 vs 2) |") in md
     assert "mAP" not in md
+
+
+def test_spiked_uses_harness_sentinel():
+    """ADVICE r4: the non-finite sentinel must be IMPORTED from bench_quality,
+    not duplicated — a producer-side change of the value must keep dropping
+    diverged cells."""
+    import bench_quality
+    from results_to_md import spiked
+
+    nf = bench_quality.NONFINITE_LOSS
+    assert spiked({"final_epoch_loss": nf, "min_epoch_loss": 0.0}, 10)
+    assert spiked({"final_epoch_loss": 0.255, "min_epoch_loss": 0.006}, 10)
+    assert not spiked({"final_epoch_loss": 0.006, "min_epoch_loss": 0.006}, 10)
+    assert not spiked({}, 10)  # unstamped legacy cell: kept

@@ -48,8 +48,17 @@ def provenance(args, flags=(), stage="train", loss_path=None) -> dict:
     except Exception:
         sha = "unknown"
     flags = list(flags)
-    layer = (int(flags[flags.index("--layer") + 1])
-             if "--layer" in flags else None)
+    layer = None
+    if "--layer" in flags:
+        i = flags.index("--layer")
+        # guard the parse: a flags list ending in '--layer' or carrying a
+        # non-integer value must stamp layer=None, not crash at stamp time —
+        # i.e. AFTER the cell's training completed (ADVICE r4)
+        if i + 1 < len(flags):
+            try:
+                layer = int(flags[i + 1])
+            except ValueError:
+                layer = None
     if loss_path is None:
         try:
             with open(os.path.join(REPO, "disconet_tpu", "config.py")) as f:

@@ -66,6 +66,13 @@ CONFIGS = {
     # the packed-loss rows to the round-3 view-loss rows by measurement, on
     # top of the unit-level value+grad equality (tests/test_packed_loss.py)
     "disco_l2_hv": ["--com", "disco", "--layer", "2"],
+    # who2com (paper Table 1's handshake hard-select variant, VERDICT r4 #5)
+    # at the resolution-matched point
+    "who2com_l2": ["--com", "who2com", "--layer", "2"],
+    # v2v optimization-hygiene ablation (VERDICT r4 weak #3): 1 ConvGRU round
+    # vs the default 3 — distinguishes "ConvGRU mechanism loses here" from
+    # "3-round recurrence trains badly on this benchmark"
+    "v2v_l2_r1": ["--com", "v2v", "--layer", "2", "--gru_rounds", "1"],
 }
 # configs whose train-CLI mode dir differs from the matrix cell name (the CLI
 # writes under {com}{_kd}; same-mode cells with different flags need their own
@@ -78,6 +85,8 @@ MODE_DIR = {
     "when2com_l2": "when2com",
     "disco_l2_norsu": "disco",
     "disco_l2_hv": "disco",
+    "who2com_l2": "who2com",
+    "v2v_l2_r1": "v2v",
 }
 # eval-only robustness rows (--extra_evals): reuse a trained base
 # checkpoint, re-evaluate with extra test flags — the paper's pose-noise
@@ -113,6 +122,12 @@ ORDERINGS = [
     ("disco_norsu", "lowerbound"),
     ("disco_l2", "disco_l2_norsu"), ("disco_l2_norsu", "lowerbound"),
     ("disco_l2_hv", "lowerbound"), ("disco_l2_hv", "disco_l2"),
+    # who2com rows (paper Table 1 lists who2com alongside when2com)
+    ("who2com_l2", "lowerbound"), ("when2com_l2", "who2com_l2"),
+    ("disco_l2", "who2com_l2"),
+    # v2v GRU-rounds ablation: does cutting recurrence stabilize training?
+    ("v2v_l2_r1", "lowerbound"), ("v2v_l2", "v2v_l2_r1"),
+    ("disco_l2", "v2v_l2_r1"),
     # robustness (--extra_evals): collaboration under the paper's pose noise
     # (0.4 m / 4 deg) must still beat no-collaboration, and the cost of the
     # noise itself is the gap to the clean row
@@ -128,8 +143,12 @@ TRACK_ORDERINGS = [
 ]
 
 AVG_RE = re.compile(r"average \|\s+([\d.]+) \|\s+([\d.]+) \|\s+(\d+) \|\s+(\d+)")
+# nan/inf alternatives FIRST: with the numeric class first, 'loss=-inf'
+# matches the bare '-' and float() raises (ADVICE r4)
 EPOCH_LOSS_RE = re.compile(
-    r"epoch \d+ done .*?(?<![\w])loss=([\d.eE+-]+|-?nan|-?inf)")
+    r"epoch \d+ done .*?(?<![\w])loss=(-?nan|-?inf|[\d.eE+-]+)")
+# train CLI --save_best record line (parsed for the per-cell ckpt stamp)
+BEST_CKPT_RE = re.compile(r"best checkpoint: epoch (\d+) loss=(-?nan|-?inf|[\d.eE+-]+)")
 # JSON-safe stand-in for a nan/inf epoch loss: large enough that any
 # --max_loss_ratio filter flags the cell (a diverged save is the most
 # off-trajectory save there is), and representable in strict JSON
@@ -152,19 +171,71 @@ def epoch_loss_stats(log_file: str) -> dict:
 
     try:
         with open(log_file) as f:
-            losses = [float(m.group(1)) for m in EPOCH_LOSS_RE.finditer(f.read())]
+            text = f.read()
     except OSError:
-        losses = []
+        return {}
+    text = _last_train_attempt(text)
+    losses = []
+    for m in EPOCH_LOSS_RE.finditer(text):
+        try:
+            losses.append(float(m.group(1)))
+        except ValueError:  # defense-in-depth if the regex ever re-breaks
+            losses.append(NONFINITE_LOSS)
     if not losses:
         return {}
     # a nan/inf epoch (MetricLogger prints '%.5f' -> 'nan') must flag the
     # cell, not silently fall back to the last finite epoch's healthy value
     losses = [x if math.isfinite(x) else NONFINITE_LOSS for x in losses]
     return {"final_epoch_loss": losses[-1], "min_epoch_loss": min(losses)}
+
+
+def _last_train_attempt(text: str) -> str:
+    """Drop everything before the last logged train-CLI invocation.
+
+    with_retries re-runs a crashed training command appending to the same
+    cell log, so a min over ALL 'epoch N done' lines could come from a
+    discarded earlier trajectory (ADVICE r4). sh() writes each command as a
+    '$ ...' header line; the segment after the last train header is the only
+    trajectory whose checkpoint survived."""
+    starts = [m.end() for m in re.finditer(r"^\$ .*train_codet\.py.*$", text, re.M)]
+    return text[starts[-1]:] if starts else text
+
+
+def best_ckpt_stats(log_file: str) -> dict:
+    """{best_epoch, best_epoch_loss} from the train CLI's --save_best record
+    line (last write wins — the CLI re-prints whenever best.pth is rewritten)."""
+    try:
+        with open(log_file) as f:
+            text = _last_train_attempt(f.read())
+    except OSError:
+        return {}
+    hits = BEST_CKPT_RE.findall(text)
+    if not hits:
+        return {}
+    epoch, loss = hits[-1]
+    try:
+        loss_f = float(loss)
+    except ValueError:
+        loss_f = NONFINITE_LOSS
+    return {"best_epoch": int(epoch), "best_epoch_loss": loss_f}
 # eval_mot.py's "avg" row: MOTA (can be negative) then MOTP
 MOT_AVG_RE = re.compile(r"avg \|\s+(-?[\d.]+) \|\s+([\d.]+)")
 # configs whose checkpoints get the tracking pipeline (--track_evals)
 TRACK_EVALS = ("disco_kd", "disco", "lowerbound")
+
+
+def cell_ckpt(logpath: str, name: str, nepoch: int, save_best: bool) -> str:
+    """The checkpoint a cell is measured on. With the best-of-epoch policy
+    that is {mode_dir}/best.pth; legacy cells (and --save_best 0) use the
+    final-epoch export. Eval-only passes (extra/track evals) call this with
+    save_best=None: prefer best.pth when the training cell saved one, so the
+    derived rows score the SAME weights the cell's mAP row did."""
+    mode_dir = os.path.join(logpath, MODE_DIR.get(name, name))
+    best = os.path.join(mode_dir, "best.pth")
+    final = os.path.join(mode_dir, f"epoch_{nepoch}.pth")
+    if save_best is None:
+        return best if os.path.exists(best) else final
+    return best if save_best else final
 
 
 def run_cell(name, seed, args, results, out_path):
@@ -180,17 +251,20 @@ def run_cell(name, seed, args, results, out_path):
     log_file = os.path.join(logpath, f"{name}.log")
     extra = list(CONFIGS[name])
     if "--kd_flag" in extra:  # any KD cell: same seed's trained upperbound
-        teacher = os.path.join(base_logpath, "upperbound",
-                               f"epoch_{args.nepoch}.pth")
+        tdir = os.path.join(base_logpath, "upperbound")
+        # prefer the best-of-epoch teacher when its cell saved one
+        teacher = os.path.join(tdir, "best.pth")
+        if not os.path.exists(teacher):
+            teacher = os.path.join(tdir, f"epoch_{args.nepoch}.pth")
         if not os.path.exists(teacher):
             raise RuntimeError(f"{key}: teacher checkpoint missing ({teacher}); "
                                "upperbound must run first for this seed")
         extra += ["--resume_teacher", teacher]
 
     t0 = time.time()
+    save_best = bool(getattr(args, "save_best", 0))
     # train CLI writes under (com or bound) + optional _kd == the config key
-    resume = os.path.join(logpath, MODE_DIR.get(name, name),
-                          f"epoch_{args.nepoch}.pth")
+    resume = cell_ckpt(logpath, name, args.nepoch, save_best)
     trained = not os.path.exists(resume)
     if trained:  # mid-cell resume: train only if needed
         with_retries(f"{key} train", lambda: sh(
@@ -202,11 +276,18 @@ def run_cell(name, seed, args, results, out_path):
              # final-epoch checkpoint only: per-epoch orbax+pth export measured
              # ~8 s/epoch of host I/O — 77% of a cell's wall time at 64-grid
              "--ckpt_every", str(args.nepoch), "--ckpt_keep", "1",
+             # best-of-epoch save policy (VERDICT r4 weak #2): the evaluated
+             # checkpoint is the min end-of-epoch-loss snapshot, so a
+             # final-dispatch loss spike can no longer freeze into the cell
+             *(["--save_best", "1"] if save_best else []),
              # 8 optimizer steps per device dispatch: 64-grid cells are
              # tunnel-RTT-bound (measured 75.9 -> 263.7 scenes/s, 3.5x)
              "--steps_per_dispatch", "8"], log_file))
     cell = with_retries(f"{key} eval", lambda: run_eval(
         name, resume, [], args, logpath, log_file))
+    cell["ckpt"] = "best" if save_best else "final"
+    if save_best:
+        cell.update(best_ckpt_stats(log_file))
     if trained:  # on a resumed cell t0-to-now is eval time, not training
         cell["train_s"] = round(time.time() - t0, 1)
     # loss stats are observational from the persisted log — stamp them even
@@ -257,7 +338,7 @@ def run_extra_evals(args, results, out_path):
                 print(f"[skip] {key}")
                 continue
             logpath = os.path.join(args.root, "logs", f"seed{seed}")
-            resume = os.path.join(logpath, base, f"epoch_{args.nepoch}.pth")
+            resume = cell_ckpt(logpath, base, args.nepoch, None)
             if not os.path.exists(resume):
                 print(f"[miss] {key}: no {resume}")
                 continue
@@ -282,7 +363,7 @@ def run_track_evals(args, results, out_path):
                 print(f"[skip] {key}")
                 continue
             logpath = os.path.join(args.root, "logs", f"seed{seed}")
-            resume = os.path.join(logpath, base, f"epoch_{args.nepoch}.pth")
+            resume = cell_ckpt(logpath, base, args.nepoch, None)
             if not os.path.exists(resume):
                 print(f"[miss] {key}: no {resume}")
                 continue
@@ -377,6 +458,12 @@ def main(argv=None):
     p.add_argument("--train_scenes", type=int, default=24)
     p.add_argument("--val_scenes", type=int, default=24)
     p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--save_best", type=int, default=1,
+                   help="1 (default) = cells train with --save_best and are "
+                        "measured on the min end-of-epoch-loss checkpoint "
+                        "(best.pth) instead of the final-epoch save, closing "
+                        "the off-trajectory-save class (VERDICT r4 weak #2); "
+                        "0 = legacy final-epoch policy")
     p.add_argument("--occlusion", type=int, default=0,
                    help="1 = generate the splits with LiDAR shadowing "
                         "(data/synthetic.py): boxes fully hidden from one "

@@ -71,6 +71,9 @@ def parse_args(argv=None):
                    help="inference warp dtype override (config.warp_dtype)")
     p.add_argument("--pose_noise_rot_std", type=float, default=0.0,
                    help="test-time pose noise: rotation std [rad]")
+    p.add_argument("--gru_rounds", type=int, default=0,
+                   help="--com v2v only: ConvGRU rounds (0 = model default 3); "
+                        "must match the checkpoint's training value")
     args = p.parse_args(argv)
     if args.layer is None:
         args.layer = default_fusion_layer(args.grid)
@@ -98,7 +101,8 @@ def main(argv=None):
     loader = BatchIterator(dataset, args.batch, shuffle=False, drop_last=False)
 
     model = build_model(args.com or args.bound, cfg, kd_flag=False,
-                        layer=args.layer, warp_flag=bool(args.warp_flag))
+                        layer=args.layer, warp_flag=bool(args.warp_flag),
+                        gru_rounds=args.gru_rounds)
     sample = dataset[0]
     from disconet_tpu.data.dataset import collate_det
 

@@ -70,6 +70,11 @@ def parse_args(argv=None):
     p.add_argument("--warp_flag", type=int, default=1, help="when2com: warp values")
     p.add_argument("--warp_dtype", type=str, default=None, choices=["bfloat16", "float32"],
                    help="inference warp dtype override (config.warp_dtype; training warps are always f32)")
+    p.add_argument("--gru_rounds", type=int, default=0,
+                   help="--com v2v only: ConvGRU message-passing rounds "
+                        "(0 = model default 3). Ablation knob for the v2v "
+                        "stability study (BASELINE.md); evaluate checkpoints "
+                        "with the same value they trained with")
     # --- rebuild extras ---
     p.add_argument("--grid", type=int, default=256, help="BEV grid cells (256 = reference)")
     p.add_argument("--num_classes", type=int, default=2,
@@ -92,6 +97,15 @@ def parse_args(argv=None):
     p.add_argument("--profile", type=int, default=0,
                    help="trace N steady-state steps to {logpath}/profile (SURVEY.md 5.2)")
     p.add_argument("--debug_nans", type=int, default=0, help="jax_debug_nans CI smoke mode")
+    p.add_argument("--save_best", type=int, default=0,
+                   help="track the min end-of-epoch train loss and export "
+                        "{logdir}/best.pth with that epoch's weights (written "
+                        "at --ckpt_every boundaries; the snapshot lives in "
+                        "host RAM between writes). Fixes the off-trajectory "
+                        "final-epoch save class (a last-dispatch loss spike "
+                        "freezing into the only checkpoint — observed once at "
+                        "256-grid, mAP 0.20 vs 0.51 siblings); the reference "
+                        "itself keeps every epoch (SURVEY.md C22/5.5)")
     p.add_argument("--ckpt_every", type=int, default=1, help="save checkpoints every N epochs")
     p.add_argument("--ckpt_keep", type=int, default=5,
                    help="orbax checkpoints retained (0 = keep all; epoch_N.pth exports are never pruned)")
@@ -192,7 +206,8 @@ def main(argv=None):
     print(f"dataset: {len(dataset)} scene-frames, {len(loader)} batches/epoch")
 
     model = build_model(args.com or args.bound, cfg, kd_flag=bool(args.kd_flag),
-                        layer=args.layer, warp_flag=bool(args.warp_flag))
+                        layer=args.layer, warp_flag=bool(args.warp_flag),
+                        gru_rounds=args.gru_rounds)
     sample = next(iter(BatchIterator(dataset, args.batch, shuffle=False)))
     state = create_train_state(model, cfg, rng, sample, lr=args.lr)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
@@ -302,6 +317,11 @@ def main(argv=None):
     profiler_span = None
     profile_done = False
     predict_vis = None  # built lazily on first --visualization render
+    # --save_best: min end-of-epoch loss -> host-RAM weight snapshot; disk
+    # writes only at checkpoint boundaries (device_get per improving epoch is
+    # ~31 MB over the tunnel; per-epoch .pth I/O measured ~8 s/epoch)
+    best = {"loss": float("inf"), "epoch": None, "snap": None,
+            "written": None} if args.save_best else None
     for epoch in range(start_epoch + 1, args.nepoch + 1):
         t_ep = time.time()
         last = {}
@@ -334,7 +354,15 @@ def main(argv=None):
         dt = time.time() - t_ep
         sps = len(loader) * args.batch / dt
         logger.write(step, {**last, "scenes_per_sec": sps}, prefix=f"epoch {epoch} done")
+        if best is not None:
+            ep_loss = last.get("loss")
+            # a nan/inf epoch must never become "best"
+            if ep_loss is not None and np.isfinite(ep_loss) and ep_loss < best["loss"]:
+                best.update(loss=float(ep_loss), epoch=epoch,
+                            snap=jax.device_get((state.params, state.batch_stats)))
         if epoch % args.ckpt_every == 0 or epoch == args.nepoch:
+            if best is not None and best["snap"] is not None and best["epoch"] != best["written"]:
+                _write_best(logdir, best)
             host_state = jax.device_get(state)
             ckpt_io.save(epoch, host_state)
             if args.save_pth:
@@ -353,6 +381,22 @@ def main(argv=None):
               f"(run ended before --profile {args.profile} steps completed)")
     logger.close()
     print(f"training complete: {args.nepoch} epochs, checkpoints in {logdir}")
+
+
+def _write_best(logdir: str, best: dict) -> None:
+    """Atomically (re)write {logdir}/best.pth from the tracked best-of-epoch
+    snapshot. The printed line is the machine-readable record the quality
+    harness parses for its per-cell checkpoint stamp."""
+    import types
+
+    path = os.path.join(logdir, "best.pth")
+    save_pth(path + ".tmp",
+             types.SimpleNamespace(params=best["snap"][0], batch_stats=best["snap"][1]),
+             best["epoch"], loss=best["loss"])
+    os.replace(path + ".tmp", path)
+    best["written"] = best["epoch"]
+    print(f"best checkpoint: epoch {best['epoch']} loss={best['loss']:.5f} -> {path}",
+          flush=True)
 
 
 def _render_train_panel(cfg, predict, state, batch, to_device, logdir, epoch):

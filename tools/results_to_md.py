@@ -15,10 +15,27 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import re
+import sys
 from collections import defaultdict
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from bench_quality import NONFINITE_LOSS  # noqa: E402  (single-sourced sentinel)
+
+
+def spiked(cell: dict, max_loss_ratio: float) -> bool:
+    """Off-trajectory-save detector for --max_loss_ratio: the checkpoint
+    captured a final-dispatch loss spike (final ≫ min end-of-epoch loss), or a
+    nan/inf epoch (stamped as NONFINITE_LOSS by the harness — imported, not
+    duplicated, so a sentinel change cannot silently disable this filter)."""
+    f, m = cell.get("final_epoch_loss"), cell.get("min_epoch_loss")
+    if f is None or m is None:  # truthiness would let min==0.0 (a fully-
+        return False            # converged cell) disable the filter for the
+    # maximal-spike case
+    return f > max_loss_ratio * m or f >= NONFINITE_LOSS
 
 
 def group(results: dict) -> dict:
@@ -56,14 +73,17 @@ def render_orderings(results: dict, metric: str = "mAP@0.7") -> str:
     from the same ORDERINGS list and ordering_stats semantics — so the
     BASELINE.md verdict table regenerates from the artifact instead of being
     hand-assembled from console output (the r2/r3 doc-drift failure class)."""
-    import os
-    import sys
-
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from _bench_harness import ordering_stats
     from bench_quality import ORDERINGS, TRACK_ORDERINGS
 
-    pairs = TRACK_ORDERINGS if metric == "MOTA" else ORDERINGS
+    if metric == "MOTA":
+        pairs = TRACK_ORDERINGS
+    elif metric == "mIoU":
+        from bench_seg_matrix import SEG_ORDERINGS
+
+        pairs = SEG_ORDERINGS
+    else:
+        pairs = ORDERINGS
     rows = group(results)
     lines = [f"| claim ({metric}) | gap | noise | verdict |",
              "|---|---|---|---|"]
@@ -99,23 +119,13 @@ def main(argv=None):
     with open(args.path) as f:
         results = json.load(f)
     if args.max_loss_ratio:
-        import sys as _sys
-
-        def _spiked(cell):
-            f, m = cell.get("final_epoch_loss"), cell.get("min_epoch_loss")
-            if f is None or m is None:  # truthiness would let min==0.0 (a
-                return False            # fully-converged cell) disable the
-            # filter for the maximal-spike case
-            return f > args.max_loss_ratio * m or f >= 1e30  # 1e30 = the
-            # harness's JSON-safe stand-in for a nan/inf epoch loss
-
         dropped = [k for k, v in results.items()
-                   if isinstance(v, dict) and _spiked(v)]
+                   if isinstance(v, dict) and spiked(v, args.max_loss_ratio)]
         for k in dropped:
             c = results.pop(k)
             print(f"[excluded] {k}: final_epoch_loss {c['final_epoch_loss']} > "
                   f"{args.max_loss_ratio} x min {c['min_epoch_loss']}",
-                  file=_sys.stderr)
+                  file=sys.stderr)
     if args.orderings:
         print(render_orderings(results, (args.metric or ["mAP@0.7"])[0]))
         return
