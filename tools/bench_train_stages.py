@@ -47,6 +47,17 @@ def main(argv=None):
     p.add_argument("--grid", type=int, default=256)
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--warmup", type=int, default=2)
+    p.add_argument("--max_pos", type=int, default=0,
+                   help="config.max_pos_anchors override (0 = config default), "
+                        "matching the train CLI's --max_pos")
+    p.add_argument("--kd", type=int, default=0,
+                   help="KD-step attribution instead of the prefix rows "
+                        "(VERDICT r4 weak #4): where does the KD-cached step's "
+                        "cost over the plain step go? Times the SAME student "
+                        "under (a) KD off, (b) KD MSE against a 1-row zero "
+                        "cache (gather ~free -> isolates the MSE + tap-grad "
+                        "cost), (c) the full per-frame-table gather, plus a "
+                        "gather-only microbench of the B dynamic-slice DMAs")
     args = p.parse_args(argv)
 
     import jax
@@ -60,10 +71,13 @@ def main(argv=None):
     from disconet_tpu.training import batch_to_device, create_train_state
     from disconet_tpu.training.det_module import _losses, get_bev
 
-    cfg = Config() if args.grid == 256 else tiny_config(args.grid)
+    over = {"max_pos_anchors": args.max_pos} if args.max_pos else {}
+    cfg = Config(**over) if args.grid == 256 else tiny_config(args.grid, **over)
     dataset = V2XSimDet(args.data, cfg, rsu=True, dense_targets=False, cache_items=64)
     loader = BatchIterator(dataset, args.batch, shuffle=True, seed=0, num_workers=0)
     host_batch = next(iter(loader))
+    if args.kd:
+        return kd_attribution(args, cfg, dataset, host_batch)
     batch = batch_to_device(host_batch)
     jax.block_until_ready(batch)
 
@@ -199,6 +213,134 @@ def main(argv=None):
     report["total_fwd_ms"] = round(cum_f[-1] * 1e3, 2)
     report["total_fwd_bwd_ms"] = round(cum_b[-1] * 1e3, 2)
     report["scenes_per_sec_fwd_bwd"] = round(args.batch / cum_b[-1], 1)
+    print(json.dumps(report))
+
+
+def kd_attribution(args, cfg, dataset, host_batch):
+    """--kd 1: attribute the KD-cached train step's cost over the plain step.
+
+    Round-4 measured the e2e gap (45.4 -> 38.6 scenes/s with --max_pos 1024)
+    but not where it goes (VERDICT r4 weak #4). Three timed variants of the
+    SAME kd-capable student (identical params; with KD off the unused tap
+    outputs are dead code XLA eliminates):
+
+      plain      make_train_step(kd_flag=False)
+      kd_mse     kd_from_cache against a 1-row zero table (frame_idx forced 0:
+                 the gather is one cache-resident row -> ~free), so the delta
+                 vs plain is the KD MSE + the extra backward through the taps
+      kd_gather  the cached production path: per-frame bf16 tables sized like
+                 precompute_teacher_feats' (ceil(n/b)*b rows), real frame_idx;
+                 delta vs kd_mse is the HBM table-gather cost
+      kd_reforward  the UNcached production path (a frozen TeacherNet forward
+                 every step + the bev_teacher host transfer) — what the
+                 256-grid quality cells actually run, since their table would
+                 be 26 GiB > HBM; delta vs kd_mse is the teacher recompute
+
+    plus a gather-only jit (B dynamic-slice row DMAs per tap table) as the
+    microbench cross-check. Timing protocol is bench.py's scalar-fetch sync.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from disconet_tpu.models import build_model
+    from disconet_tpu.training import batch_to_device, create_train_state
+    from disconet_tpu.training.det_module import get_bev, make_train_step
+
+    model = build_model(args.com, cfg, kd_flag=True)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0), host_batch)
+    host_state = jax.device_get(state)
+
+    # mimic the train CLI's cached-KD batch surface (bev_teacher dropped);
+    # the reforward variant keeps the full batch incl. bev_teacher
+    host_full = dict(host_batch)
+    host_batch = dict(host_batch)
+    host_batch.pop("bev_teacher", None)
+    host_batch.pop("bev_teacher_packed", None)
+    batch = batch_to_device(host_batch)
+    full_batch = batch_to_device(host_full)
+    jax.block_until_ready(batch)
+    B = int(batch["frame_idx"].shape[0])
+
+    # KD tap shapes without compiling anything: eval_shape the student forward
+    out_sds = jax.eval_shape(
+        lambda p, bs: model.apply(
+            {"params": p, "batch_stats": bs}, get_bev(batch, "bev", cfg),
+            batch["trans"], batch["agent_mask"], train=False),
+        host_state.params, host_state.batch_stats)
+    tap_shapes = [tuple(f.shape[1:]) for f in out_sds["kd_feats"]]
+    n_rows = -(-len(dataset) // args.batch) * args.batch  # ceil to batch mult
+    # allocated ON device (values are irrelevant to DMA/MSE cost; a host
+    # random table would ship GiBs over the tunnel for nothing)
+    tables = tuple(jnp.zeros((n_rows,) + s, jnp.bfloat16) for s in tap_shapes)
+    zero_tables = tuple(jnp.zeros((1,) + s, jnp.bfloat16) for s in tap_shapes)
+    table_gib = sum(t.size * 2 for t in tables) / 2**30
+    jax.block_until_ready(tables)
+    print(f"com={args.com} grid={args.grid} batch={B} P={cfg.max_pos_anchors} "
+          f"taps={tap_shapes} table={table_gib:.2f} GiB ({n_rows} rows)",
+          flush=True)
+
+    from disconet_tpu.models import TeacherNet
+    from disconet_tpu.training.det_module import get_bev_np
+
+    teacher = TeacherNet(config=cfg)
+    teacher_vars = jax.jit(functools.partial(teacher.init, train=False))(
+        jax.random.PRNGKey(1), get_bev_np(host_full, "bev_teacher", cfg),
+        None, host_full["agent_mask"])
+
+    zero_idx_batch = {**batch, "frame_idx": jnp.zeros_like(batch["frame_idx"])}
+    variants = [
+        ("plain", make_train_step(model, cfg, kd_flag=False), batch, None),
+        ("kd_mse", make_train_step(model, cfg, kd_flag=True, kd_from_cache=True),
+         zero_idx_batch, zero_tables),
+        ("kd_gather", make_train_step(model, cfg, kd_flag=True, kd_from_cache=True),
+         batch, tables),
+        ("kd_reforward",
+         make_train_step(model, cfg, teacher=teacher, kd_flag=True,
+                         kd_from_cache=False),
+         full_batch, teacher_vars),
+    ]
+    report = {"table_gib": round(table_gib, 2), "n_rows": n_rows,
+              "P": cfg.max_pos_anchors}
+    times = {}
+    for name, step, b, tv in variants:
+        st = jax.device_put(host_state)  # fresh state: the step donates it
+        for _ in range(args.warmup):
+            st, metrics = step(st, b, tv)
+            float(metrics["loss"])
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            st, metrics = step(st, b, tv)
+        float(metrics["loss"])  # FIFO: syncs all steps
+        ms = (time.perf_counter() - t0) / args.steps * 1e3
+        times[name] = ms
+        print(f"{name:>10}: {ms:8.2f} ms/step  "
+              f"({args.batch / ms * 1e3:6.1f} scenes/s)", flush=True)
+        report[f"{name}_ms"] = round(ms, 2)
+
+    @jax.jit
+    def gather_only(tables, idx):
+        acc = jnp.float32(0)
+        for f in tables:
+            rows = jnp.stack(
+                [jax.lax.dynamic_index_in_dim(f, idx[i], 0, keepdims=False)
+                 for i in range(B)])
+            acc = acc + jnp.sum(rows.astype(jnp.float32))
+        return acc
+
+    for _ in range(args.warmup):
+        float(gather_only(tables, batch["frame_idx"].astype(jnp.int32)))
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        out = gather_only(tables, batch["frame_idx"].astype(jnp.int32))
+    float(out)
+    g_ms = (time.perf_counter() - t0) / args.steps * 1e3
+    print(f"{'gather-only':>10}: {g_ms:8.2f} ms ({B} rows x {len(tables)} taps)",
+          flush=True)
+    report["gather_only_ms"] = round(g_ms, 2)
+    report["kd_mse_minus_plain_ms"] = round(times["kd_mse"] - times["plain"], 2)
+    report["gather_minus_mse_ms"] = round(times["kd_gather"] - times["kd_mse"], 2)
+    report["reforward_minus_mse_ms"] = round(
+        times["kd_reforward"] - times["kd_mse"], 2)
     print(json.dumps(report))
 
 
