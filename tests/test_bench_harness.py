@@ -98,6 +98,12 @@ def test_provenance_stamps_sha_protocol_and_loss_path():
     p = provenance(args, ["--com", "disco", "--layer", "2"])
     assert set(p) == {"sha", "grid", "nepoch", "layer", "loss_path", "stage"}
     assert p["grid"] == 64 and p["nepoch"] == 100 and p["layer"] == 2
+    # a harness-level P override is stamped; the default (0) leaves the
+    # legacy prov schema untouched
+    args_mp = argparse.Namespace(grid=256, nepoch=100, max_pos=1024)
+    assert provenance(args_mp, [])["max_pos"] == 1024
+    assert "max_pos" not in provenance(
+        argparse.Namespace(grid=256, nepoch=100, max_pos=0), [])
     # this repo is a git checkout and config.py declares packed_loss
     assert p["sha"] not in ("", "unknown") and len(p["sha"]) >= 7
     assert p["loss_path"] in ("packed", "view")

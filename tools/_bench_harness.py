@@ -68,9 +68,16 @@ def provenance(args, flags=(), stage="train", loss_path=None) -> dict:
                          else "packed" if m.group(1) == "True" else "view")
         except OSError:
             loss_path = "unknown"
-    return {"sha": sha, "grid": getattr(args, "grid", None),
-            "nepoch": getattr(args, "nepoch", None), "layer": layer,
-            "loss_path": loss_path, "stage": stage}
+    out = {"sha": sha, "grid": getattr(args, "grid", None),
+           "nepoch": getattr(args, "nepoch", None), "layer": layer,
+           "loss_path": loss_path, "stage": stage}
+    # P trim (train-only, exact-semantics when P >= max positives — r4 P
+    # sweep): stamped only when the harness overrode the config default, so
+    # legacy cells' prov schema is unchanged
+    mp = getattr(args, "max_pos", 0)
+    if mp:
+        out["max_pos"] = mp
+    return out
 
 
 def sh(cmd, log_file, capture: bool = False) -> str:
