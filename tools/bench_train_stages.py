@@ -50,6 +50,13 @@ def main(argv=None):
     p.add_argument("--max_pos", type=int, default=0,
                    help="config.max_pos_anchors override (0 = config default), "
                         "matching the train CLI's --max_pos")
+    p.add_argument("--table_cap_gib", type=float, default=4.0,
+                   help="HBM budget for the --kd gather-table variant. At "
+                        "256-grid the full per-frame table exceeds HBM (the "
+                        "reason 256 cells run the reforward path); the table "
+                        "is row-capped to this budget and frame_idx wrapped — "
+                        "per-step gather cost is row-count-independent (B row "
+                        "DMAs either way), so the attribution is unchanged")
     p.add_argument("--kd", type=int, default=0,
                    help="KD-step attribution instead of the prefix rows "
                         "(VERDICT r4 weak #4): where does the KD-cached step's "
@@ -269,15 +276,30 @@ def kd_attribution(args, cfg, dataset, host_batch):
         host_state.params, host_state.batch_stats)
     tap_shapes = [tuple(f.shape[1:]) for f in out_sds["kd_feats"]]
     n_rows = -(-len(dataset) // args.batch) * args.batch  # ceil to batch mult
+    # size the full per-frame table BEFORE allocating: at 256-grid it does
+    # not fit (the very reason the 256 cells run the reforward path); cap the
+    # rows so table + train-step working set stay inside HBM, and report the
+    # per-row gather cost from the capped table (row DMA cost is
+    # row-count-independent — each step touches B rows wherever they live)
+    import math as _math
+
+    row_bytes = sum(2 * _math.prod(s) for s in tap_shapes)
+    full_gib = row_bytes * n_rows / 2**30
+    cap_rows = min(n_rows, max(args.batch, int(args.table_cap_gib * 2**30
+                                               // max(1, row_bytes))))
     # allocated ON device (values are irrelevant to DMA/MSE cost; a host
     # random table would ship GiBs over the tunnel for nothing)
-    tables = tuple(jnp.zeros((n_rows,) + s, jnp.bfloat16) for s in tap_shapes)
+    tables = tuple(jnp.zeros((cap_rows,) + s, jnp.bfloat16) for s in tap_shapes)
     zero_tables = tuple(jnp.zeros((1,) + s, jnp.bfloat16) for s in tap_shapes)
-    table_gib = sum(t.size * 2 for t in tables) / 2**30
+    table_gib = row_bytes * cap_rows / 2**30
     jax.block_until_ready(tables)
     print(f"com={args.com} grid={args.grid} batch={B} P={cfg.max_pos_anchors} "
-          f"taps={tap_shapes} table={table_gib:.2f} GiB ({n_rows} rows)",
-          flush=True)
+          f"taps={tap_shapes} table={table_gib:.2f} GiB ({cap_rows} rows"
+          + (f"; full {n_rows}-row table would be {full_gib:.2f} GiB"
+             if cap_rows < n_rows else "") + ")", flush=True)
+    if cap_rows < n_rows:
+        # keep frame_idx in range of the capped table
+        batch = {**batch, "frame_idx": batch["frame_idx"] % cap_rows}
 
     from disconet_tpu.models import TeacherNet
     from disconet_tpu.training.det_module import get_bev_np
@@ -300,6 +322,7 @@ def kd_attribution(args, cfg, dataset, host_batch):
          full_batch, teacher_vars),
     ]
     report = {"table_gib": round(table_gib, 2), "n_rows": n_rows,
+              "cap_rows": cap_rows, "full_table_gib": round(full_gib, 2),
               "P": cfg.max_pos_anchors}
     times = {}
     for name, step, b, tv in variants:
